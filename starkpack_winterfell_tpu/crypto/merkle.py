@@ -1,0 +1,230 @@
+"""Merkle tree with batched Octopus-style proofs.
+
+Equivalent of crypto/src/merkle/{mod.rs, proofs.rs}.  The tree *build* is a
+pure vectorized function (``build_levels``) — log2(n) full-width merge calls
+that run on TPU inside jit; the irregular batch-proof extraction/verification
+(prove_batch / get_root — merkle/mod.rs:222-284, proofs.rs:135-268) is tiny
+and host-side, operating on materialized levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def build_levels(leaves, hasher):
+    """leaves: (n, 8) u32 digest array (numpy or jax).  Returns list of
+    levels: [leaves (n,8), parents (n/2,8), ..., root (1,8)].
+
+    Equivalent to build_merkle_nodes (merkle/mod.rs:350-374) but bottom-up
+    vectorized: level k+1 = merge(level k even rows, level k odd rows).
+    """
+    n = leaves.shape[0]
+    assert n >= 2 and n & (n - 1) == 0, "number of leaves must be a power of two >= 2"
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = hasher.merge_words(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return levels
+
+
+class MerkleTree:
+    """Host-side tree over materialized levels (numpy (m, 8) u32 arrays)."""
+
+    def __init__(self, levels, hasher):
+        self.levels = [np.asarray(l) for l in levels]
+        self.h = hasher
+        self.n = self.levels[0].shape[0]
+
+    @classmethod
+    def from_leaves(cls, leaves, hasher) -> "MerkleTree":
+        return cls(build_levels(np.asarray(leaves), hasher), hasher)
+
+    @property
+    def depth(self) -> int:
+        return len(self.levels) - 1
+
+    def root(self) -> bytes:
+        return self.h.digest_to_bytes(self.levels[-1][0])
+
+    def leaf_bytes(self, i: int) -> bytes:
+        return self.h.digest_to_bytes(self.levels[0][i])
+
+    def _node_bytes(self, j: int) -> bytes:
+        """Reference flat node indexing: root at 1; node j in [1, n) at depth
+        k (2^k <= j < 2^(k+1)) is levels[depth-k][j - 2^k]."""
+        k = j.bit_length() - 1
+        return self.h.digest_to_bytes(self.levels[self.depth - k][j - (1 << k)])
+
+    # -- batched proofs (merkle/mod.rs:222-284) -----------------------------
+
+    def prove_batch(self, indexes) -> "BatchMerkleProof":
+        assert indexes, "at least one index required"
+        assert len(indexes) <= 255, "too many paths"
+        index_map = _map_indexes(indexes, self.depth)
+        norm = _normalize_indexes(indexes)
+        leaves = [b""] * len(index_map)
+        nodes = []
+
+        next_indexes = []
+        for index in norm:
+            missing = []
+            for i in (index, index + 1):
+                v = self.leaf_bytes(i)
+                if i in index_map:
+                    leaves[index_map[i]] = v
+                else:
+                    missing.append(v)
+            nodes.append(missing)
+            next_indexes.append((index + self.n) >> 1)
+
+        for _ in range(1, self.depth):
+            indexes_lvl = next_indexes
+            next_indexes = []
+            i = 0
+            while i < len(indexes_lvl):
+                sibling_index = indexes_lvl[i] ^ 1
+                if i + 1 < len(indexes_lvl) and indexes_lvl[i + 1] == sibling_index:
+                    i += 1
+                else:
+                    nodes[i].append(self._node_bytes(sibling_index))
+                next_indexes.append(sibling_index >> 1)
+                i += 1
+
+        return BatchMerkleProof(leaves, nodes, self.depth, self.h)
+
+
+class BatchMerkleProof:
+    """proofs.rs:31 — {leaves, nodes, depth}; all digests host bytes."""
+
+    def __init__(self, leaves, nodes, depth: int, hasher):
+        self.leaves = leaves
+        self.nodes = nodes
+        self.depth = depth
+        self.h = hasher
+
+    def get_root(self, indexes) -> bytes:
+        """proofs.rs:135-268 — resolves the aggregated paths to a root."""
+        if not indexes:
+            raise ValueError("too few indexes")
+        index_map = _map_indexes(indexes, self.depth)
+        norm = _normalize_indexes(indexes)
+        if len(norm) != len(self.nodes):
+            raise ValueError("invalid proof: node vector count mismatch")
+
+        v = {}
+        offset = 1 << self.depth
+        next_indexes = []
+        proof_pointers = []
+        for i, index in enumerate(norm):
+            if index in index_map:
+                buf0 = self.leaves[index_map[index]]
+                if (index + 1) in index_map:
+                    buf1 = self.leaves[index_map[index + 1]]
+                    proof_pointers.append(0)
+                else:
+                    if not self.nodes[i]:
+                        raise ValueError("invalid proof")
+                    buf1 = self.nodes[i][0]
+                    proof_pointers.append(1)
+            else:
+                if not self.nodes[i]:
+                    raise ValueError("invalid proof")
+                buf0 = self.nodes[i][0]
+                if (index + 1) in index_map:
+                    buf1 = self.leaves[index_map[index + 1]]
+                else:
+                    raise ValueError("invalid proof")
+                proof_pointers.append(1)
+
+            parent = self.h.merge(buf0, buf1)
+            parent_index = (offset + index) >> 1
+            v[parent_index] = parent
+            next_indexes.append(parent_index)
+
+        for _ in range(1, self.depth):
+            indexes_lvl = next_indexes
+            next_indexes = []
+            i = 0
+            while i < len(indexes_lvl):
+                node_index = indexes_lvl[i]
+                sibling_index = node_index ^ 1
+                if i + 1 < len(indexes_lvl) and indexes_lvl[i + 1] == sibling_index:
+                    sibling = v.get(sibling_index)
+                    if sibling is None:
+                        raise ValueError("invalid proof")
+                    i += 1
+                else:
+                    ptr = proof_pointers[i]
+                    if len(self.nodes[i]) <= ptr:
+                        raise ValueError("invalid proof")
+                    sibling = self.nodes[i][ptr]
+                    proof_pointers[i] += 1
+
+                node = v.get(node_index)
+                if node is None:
+                    raise ValueError("invalid proof")
+                parent = (
+                    self.h.merge(sibling, node)
+                    if node_index & 1
+                    else self.h.merge(node, sibling)
+                )
+                parent_index = node_index >> 1
+                v[parent_index] = parent
+                next_indexes.append(parent_index)
+                i += 1
+
+        root = v.get(1)
+        if root is None:
+            raise ValueError("invalid proof")
+        return root
+
+    # -- serialization (proofs.rs:425-500) ----------------------------------
+
+    def serialize_nodes(self) -> bytes:
+        out = bytearray()
+        assert len(self.nodes) <= 255, "too many paths"
+        out.append(len(self.nodes))
+        for nodes in self.nodes:
+            assert len(nodes) <= 255, "too many nodes"
+            out.append(len(nodes))
+            for node in nodes:
+                out += node
+        return bytes(out)
+
+    @classmethod
+    def deserialize(cls, reader, leaves, depth: int, hasher) -> "BatchMerkleProof":
+        if depth == 0:
+            raise ValueError("tree depth must be greater than zero")
+        if not leaves or len(leaves) > 255:
+            raise ValueError("invalid number of leaves")
+        num_node_vectors = reader.read_u8()
+        nodes = []
+        for _ in range(num_node_vectors):
+            num_digests = reader.read_u8()
+            nodes.append([reader.read_bytes(hasher.DIGEST_BYTES) for _ in range(num_digests)])
+        return cls(leaves, nodes, depth, hasher)
+
+
+def verify_batch(root: bytes, indexes, proof: BatchMerkleProof) -> bool:
+    try:
+        return proof.get_root(indexes) == root
+    except ValueError:
+        return False
+
+
+def _map_indexes(indexes, depth: int) -> dict:
+    num_leaves = 1 << depth
+    m = {}
+    for i, index in enumerate(indexes):
+        if index >= num_leaves:
+            raise ValueError("leaf index out of bounds")
+        m[index] = i
+    if len(m) != len(indexes):
+        raise ValueError("duplicate leaf index")
+    return m
+
+
+def _normalize_indexes(indexes):
+    return sorted({i - (i & 1) for i in indexes})

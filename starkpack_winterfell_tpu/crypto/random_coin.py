@@ -1,0 +1,95 @@
+"""Fiat-Shamir random coin — exact port of the *semantics* of
+crypto/src/random/default.rs (DefaultRandomCoin).
+
+This is the strictly-sequential heart of the transcript; it lives on the
+host.  Every quirk is preserved:
+
+* ``leading_zeros``/``check_leading_zeros`` actually count *trailing* zeros
+  of the first 8 seed bytes read little-endian (default.rs:173-186) — the
+  proof-of-work check depends on this.
+* ``draw`` rejection-samples: hash(seed || ++counter), take the first
+  ELEMENT_BYTES, accept iff every 8-byte base component is < modulus
+  (default.rs:196-210 + f64/mod.rs TryFrom).
+* ``draw_integers`` masks the first 8 LE bytes and skips duplicates
+  (default.rs:245-290).
+"""
+
+from __future__ import annotations
+
+P = 0xFFFFFFFF00000001
+
+
+class RandomCoin:
+    def __init__(self, hasher, seed_elements):
+        """seed_elements: list of ints/tuples — hashed via hash_elements
+        (default.rs:85-88)."""
+        self.h = hasher
+        self.seed = hasher.hash_elements(seed_elements)
+        self.counter = 0
+
+    @classmethod
+    def from_digest(cls, hasher, seed_digest: bytes):
+        coin = cls.__new__(cls)
+        coin.h = hasher
+        coin.seed = seed_digest
+        coin.counter = 0
+        return coin
+
+    def _next(self) -> bytes:
+        self.counter += 1
+        return self.h.merge_with_int(self.seed, self.counter)
+
+    def reseed(self, data: bytes):
+        self.seed = self.h.merge(self.seed, data)
+        self.counter = 0
+
+    def reseed_with_int(self, value: int):
+        self.seed = self.h.merge_with_int(self.seed, value)
+        self.counter = 0
+
+    def leading_zeros(self) -> int:
+        head = int.from_bytes(self.seed[:8], "little")
+        return _trailing_zeros(head)
+
+    def check_leading_zeros(self, value: int) -> int:
+        new_seed = self.h.merge_with_int(self.seed, value)
+        head = int.from_bytes(new_seed[:8], "little")
+        return _trailing_zeros(head)
+
+    def draw(self, deg: int = 1):
+        """Draw a field element: int for deg 1, tuple for deg 2/3."""
+        for _ in range(1000):
+            value = self._next()
+            comps = []
+            ok = True
+            for i in range(deg):
+                v = int.from_bytes(value[i * 8 : (i + 1) * 8], "little")
+                if v >= P:
+                    ok = False
+                    break
+                comps.append(v)
+            if ok:
+                return comps[0] if deg == 1 else tuple(comps)
+        raise RuntimeError("failed to draw a valid field element after 1000 tries")
+
+    def draw_integers(self, num_values: int, domain_size: int):
+        assert domain_size & (domain_size - 1) == 0, "domain size must be a power of two"
+        assert num_values < domain_size
+        v_mask = domain_size - 1
+        values = []
+        for _ in range(1000):
+            value = int.from_bytes(self._next()[:8], "little") & v_mask
+            if value in values:
+                continue
+            values.append(value)
+            if len(values) == num_values:
+                break
+        if len(values) < num_values:
+            raise RuntimeError("failed to draw enough unique query positions")
+        return values
+
+
+def _trailing_zeros(v: int) -> int:
+    if v == 0:
+        return 64
+    return (v & -v).bit_length() - 1

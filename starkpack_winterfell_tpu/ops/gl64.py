@@ -1,0 +1,390 @@
+"""Goldilocks field (p = 2^64 - 2^32 + 1) arithmetic on 32-bit limb pairs.
+
+TPU-native design: TPUs have no 64-bit integer units, so a field element is a
+pair ``(lo, hi)`` of uint32 arrays.  Every operation below is expressed purely
+in uint32 adds/subs/muls/shifts/compares, which map 1:1 onto the TPU VPU (and
+identically onto numpy for the host path).  The same code runs under ``jnp``
+(jit/TPU) and ``np`` (host) via the ``_xp`` namespace dispatch.
+
+Semantics mirror the reference field `math/src/field/f64/mod.rs` — but where
+the reference keeps elements in Montgomery form internally (f64/mod.rs:49-58),
+we keep the *canonical* representation everywhere: the reference converts to
+canonical form at every protocol boundary (``as_int`` at f64/mod.rs:275-282,
+``Serializable::write_into`` at f64/mod.rs:607-612), so canonical-on-device
+produces bit-identical transcripts and proofs without per-op reductions.
+
+Reduction algorithm: for x = c3*2^96 + c2*2^64 + c1*2^32 + c0 with 2^64 ≡
+2^32 - 1 (mod p) and 2^96 ≡ -1 (mod p):  x ≡ lo64 - c3 + c2*(2^32-1) (mod p)
+(same identity as mont_red_cst, f64/mod.rs:516-530, minus the Montgomery
+scaling).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P = 0xFFFFFFFF00000001  # field modulus
+EPS = 0xFFFFFFFF  # 2^32 - 1 == 2^64 mod p
+MASK32 = 0xFFFFFFFF
+MASK16 = 0xFFFF
+TWO_ADICITY = 32
+GENERATOR = 7
+TWO_ADIC_ROOT_OF_UNITY = 7277203076849721926  # order 2^32 (f64/mod.rs:262)
+
+_U32 = np.uint32
+
+
+def _xp(x):
+    """Return the array namespace (numpy or jax.numpy) for ``x``."""
+    if isinstance(x, np.ndarray) or isinstance(x, np.generic):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+# ---------------------------------------------------------------------------
+# representation conversions (host side)
+# ---------------------------------------------------------------------------
+
+
+def from_u64(x) -> tuple:
+    """numpy uint64 array -> (lo, hi) uint32 pair."""
+    x = np.asarray(x, dtype=np.uint64)
+    lo = (x & np.uint64(MASK32)).astype(_U32)
+    hi = (x >> np.uint64(32)).astype(_U32)
+    return lo, hi
+
+
+def to_u64(a) -> np.ndarray:
+    """(lo, hi) uint32 pair -> numpy uint64 array (host only)."""
+    lo, hi = a
+    lo = np.asarray(lo, dtype=np.uint64)
+    hi = np.asarray(hi, dtype=np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
+def from_int(v: int, shape=()) -> tuple:
+    v = int(v) % P
+    return from_u64(np.full(shape, v, dtype=np.uint64))
+
+
+def zeros(shape, xp=np):
+    return xp.zeros(shape, dtype=_U32), xp.zeros(shape, dtype=_U32)
+
+
+def ones(shape, xp=np):
+    return xp.ones(shape, dtype=_U32), xp.zeros(shape, dtype=_U32)
+
+
+# ---------------------------------------------------------------------------
+# 64-bit primitives on u32 pairs
+# ---------------------------------------------------------------------------
+
+
+def _carry(s, a, xp):
+    """Carry-out of u32 add s = a + b (wrapping)."""
+    return (s < a).astype(_U32)
+
+
+def _add64(alo, ahi, blo, bhi, xp):
+    rlo = alo + blo
+    cl = (rlo < alo).astype(_U32)
+    s1 = ahi + bhi
+    c1 = (s1 < ahi).astype(_U32)
+    rhi = s1 + cl
+    c2 = (rhi < s1).astype(_U32)
+    return rlo, rhi, c1 | c2
+
+
+def _sub64(alo, ahi, blo, bhi, xp):
+    rlo = alo - blo
+    bl = (alo < blo).astype(_U32)
+    s1 = ahi - bhi
+    b1 = (ahi < bhi).astype(_U32)
+    rhi = s1 - bl
+    b2 = (s1 < bl).astype(_U32)
+    return rlo, rhi, b1 | b2
+
+
+def _mul32(a, b, xp):
+    """Full 32x32 -> 64 product as (lo, hi) u32 pair via 16-bit partials."""
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    v1 = (p01 & MASK16) << 16
+    t = p00 + v1
+    c1 = (t < v1).astype(_U32)
+    v2 = (p10 & MASK16) << 16
+    t2 = t + v2
+    c2 = (t2 < v2).astype(_U32)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + c1 + c2
+    return t2, hi
+
+
+def _mul64_full(alo, ahi, blo, bhi, xp):
+    """64x64 -> 128 product as four u32 limbs (c0..c3, little-endian)."""
+    l0, h0 = _mul32(alo, blo, xp)
+    l1, h1 = _mul32(alo, bhi, xp)
+    l2, h2 = _mul32(ahi, blo, xp)
+    l3, h3 = _mul32(ahi, bhi, xp)
+    c0 = l0
+    t = h0 + l1
+    k1 = (t < h0).astype(_U32)
+    t2 = t + l2
+    k2 = (t2 < l2).astype(_U32)
+    c1 = t2
+    u = h1 + h2
+    k3 = (u < h1).astype(_U32)
+    u2 = u + l3
+    k4 = (u2 < l3).astype(_U32)
+    k12 = k1 + k2
+    u3 = u2 + k12
+    k5 = (u3 < k12).astype(_U32)
+    c2 = u3
+    c3 = h3 + k3 + k4 + k5
+    return c0, c1, c2, c3
+
+
+def _reduce128(c0, c1, c2, c3, xp):
+    """Reduce c3*2^96 + c2*2^64 + c1*2^32 + c0 mod p, canonical output.
+
+    x ≡ lo64 - c3 + c2*(2^32 - 1)  (mod p).
+    """
+    # t0 = lo64 - c3 (subtract EPS once more on borrow; cannot re-borrow)
+    t0lo, t0hi, bo = _sub64(c0, c1, c3, xp.zeros_like(c3), xp)
+    t0lo, t0hi, _ = _sub64(t0lo, t0hi, bo * _U32(EPS), xp.zeros_like(c3), xp)
+    # t1 = c2 * (2^32 - 1) = (c2 << 32) - c2
+    nz = (c2 != 0).astype(_U32)
+    t1lo = _U32(0) - c2
+    t1hi = c2 - nz
+    # s = t0 + t1 (add EPS on carry; cannot re-carry)
+    slo, shi, co = _add64(t0lo, t0hi, t1lo, t1hi, xp)
+    slo, shi, _ = _add64(slo, shi, co * _U32(EPS), xp.zeros_like(c3), xp)
+    return _canon(slo, shi, xp)
+
+
+def _canon(lo, hi, xp):
+    """Map a value in [0, 2^64) to canonical [0, p) (single conditional sub)."""
+    ge = (hi == _U32(EPS)) & (lo >= _U32(1))
+    lo2 = xp.where(ge, lo - _U32(1), lo)
+    hi2 = xp.where(ge, xp.zeros_like(hi), hi)
+    return lo2, hi2
+
+
+# ---------------------------------------------------------------------------
+# field operations; a, b are (lo, hi) pairs of equal-shape u32 arrays
+# ---------------------------------------------------------------------------
+
+
+def add(a, b):
+    alo, ahi = a
+    blo, bhi = b
+    xp = _xp(alo)
+    slo, shi, co = _add64(alo, ahi, blo, bhi, xp)
+    slo, shi, _ = _add64(slo, shi, co * _U32(EPS), xp.zeros_like(slo), xp)
+    return _canon(slo, shi, xp)
+
+
+def sub(a, b):
+    alo, ahi = a
+    blo, bhi = b
+    xp = _xp(alo)
+    rlo, rhi, bo = _sub64(alo, ahi, blo, bhi, xp)
+    rlo, rhi, _ = _sub64(rlo, rhi, bo * _U32(EPS), xp.zeros_like(rlo), xp)
+    return rlo, rhi
+
+
+def neg(a):
+    xp = _xp(a[0])
+    z = zeros(xp.shape(a[0]) if xp is not np else a[0].shape, xp)
+    return sub(z, a)
+
+
+def mul(a, b):
+    alo, ahi = a
+    blo, bhi = b
+    xp = _xp(alo)
+    c0, c1, c2, c3 = _mul64_full(alo, ahi, blo, bhi, xp)
+    return _reduce128(c0, c1, c2, c3, xp)
+
+
+def square(a):
+    return mul(a, a)
+
+
+def double(a):
+    return add(a, a)
+
+
+def mul_small(a, k: int):
+    """Multiply by a constant < 2^32 (single-limb multiplicand)."""
+    xp = _xp(a[0])
+    k32 = _U32(k)
+    l0, h0 = _mul32(a[0], xp.full_like(a[0], k32), xp)
+    l1, h1 = _mul32(a[1], xp.full_like(a[1], k32), xp)
+    # product = h1*2^96? no: a*k = (alo + ahi*2^32)*k = l0 + (h0 + l1)*2^32 + h1*2^64
+    t = h0 + l1
+    cc = (t < h0).astype(_U32)
+    return _reduce128(l0, t, h1 + cc, xp.zeros_like(l0), xp)
+
+
+def exp_int(a, e: int):
+    """Exponentiation by a static python-int exponent (unrolled at trace time)."""
+    xp = _xp(a[0])
+    e = int(e)
+    if e == 0:
+        return ones(a[0].shape, xp)
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = square(base)
+    return result
+
+
+def exp7(a):
+    """x^7 — Rescue S-box exponent (f64/mod.rs:75-82)."""
+    x2 = square(a)
+    x4 = square(x2)
+    x3 = mul(x2, a)
+    return mul(x3, x4)
+
+
+def inv(a):
+    """Field inverse via Fermat: a^(p-2).  a==0 maps to 0."""
+    return exp_int(a, P - 2)
+
+
+def eq(a, b):
+    return (a[0] == b[0]) & (a[1] == b[1])
+
+
+def is_zero(a):
+    return (a[0] == 0) & (a[1] == 0)
+
+
+def where(cond, a, b):
+    xp = _xp(a[0])
+    return xp.where(cond, a[0], b[0]), xp.where(cond, a[1], b[1])
+
+
+def batch_inv(a, axis=-1):
+    """Batched inversion via prefix/suffix products (Montgomery's trick,
+    reference math/src/utils/mod.rs:177).  One field inversion total.
+
+    Zero entries produce zero outputs (matching reference behavior of skipping
+    zeros is NOT implemented — reference asserts no zeros in hot paths).
+    """
+    lo, hi = a
+    xp = _xp(lo)
+    if xp is np:
+        u = to_u64(a)
+        flat = u.reshape(-1) if axis in (-1, u.ndim - 1) else np.moveaxis(u, axis, -1).reshape(-1)
+        # host: simple sequential Montgomery trick on python ints
+        n = flat.shape[0]
+        prefix = np.empty(n + 1, dtype=np.uint64)
+        prefix[0] = 1
+        acc = 1
+        vals = [int(v) for v in flat]
+        for i, v in enumerate(vals):
+            acc = (acc * (v if v != 0 else 1)) % P
+            prefix[i + 1] = acc
+        inv_acc = pow(acc, P - 2, P)
+        out = np.empty(n, dtype=np.uint64)
+        for i in range(n - 1, -1, -1):
+            v = vals[i]
+            if v == 0:
+                out[i] = 0
+            else:
+                out[i] = (int(prefix[i]) * inv_acc) % P
+                inv_acc = (inv_acc * v) % P
+        out = out.reshape(u.shape if axis in (-1, u.ndim - 1) else np.moveaxis(u, axis, -1).shape)
+        if axis not in (-1, u.ndim - 1):
+            out = np.moveaxis(out, -1, axis)
+        return from_u64(out)
+    else:
+        import jax
+
+        axis = axis % lo.ndim
+        one = ones(lo.shape, xp)
+        safe = where(is_zero(a), one, a)
+        # prefix products (inclusive) and suffix products (inclusive)
+        pre = jax.lax.associative_scan(mul, safe, axis=axis)
+        suf = jax.lax.associative_scan(mul, safe, axis=axis, reverse=True)
+        # total product = last prefix; invert once (jax take clips negative
+        # indices, so use the explicit last index)
+        last = lo.shape[axis] - 1
+        total = (
+            xp.take(pre[0], xp.array([last]), axis=axis),
+            xp.take(pre[1], xp.array([last]), axis=axis),
+        )
+        inv_total = inv(total)
+        # a_i^{-1} = prefix_{i-1} * suffix_{i+1} * inv_total
+        shift_pre = _shift(pre, 1, axis, xp, fill_one=True)
+        shift_suf = _shift(suf, -1, axis, xp, fill_one=True)
+        out = mul(mul(shift_pre, shift_suf), (xp.broadcast_to(inv_total[0], lo.shape), xp.broadcast_to(inv_total[1], lo.shape)))
+        return where(is_zero(a), zeros(lo.shape, xp), out)
+
+
+def _shift(a, k, axis, xp, fill_one=False):
+    """Shift along axis by k (positive = right), filling with ONE."""
+    lo, hi = a
+    n = lo.shape[axis]
+    fill_lo = xp.ones if fill_one else xp.zeros
+    idx = [slice(None)] * lo.ndim
+
+    def shift_one(arr, fill_val):
+        pad = xp.full_like(xp.take(arr, xp.arange(abs(k)), axis=axis), fill_val)
+        if k > 0:
+            body = xp.take(arr, xp.arange(0, n - k), axis=axis)
+            return xp.concatenate([pad, body], axis=axis)
+        else:
+            body = xp.take(arr, xp.arange(-k, n), axis=axis)
+            return xp.concatenate([body, pad], axis=axis)
+
+    return shift_one(lo, 1 if fill_one else 0), shift_one(hi, 0)
+
+
+# ---------------------------------------------------------------------------
+# host-side scalar helpers (python ints)
+# ---------------------------------------------------------------------------
+
+
+def s_add(a: int, b: int) -> int:
+    return (a + b) % P
+
+
+def s_sub(a: int, b: int) -> int:
+    return (a - b) % P
+
+
+def s_mul(a: int, b: int) -> int:
+    return (a * b) % P
+
+
+def s_inv(a: int) -> int:
+    return pow(a, P - 2, P)
+
+
+def s_exp(a: int, e: int) -> int:
+    return pow(a, e, P)
+
+
+def s_neg(a: int) -> int:
+    return (-a) % P
+
+
+def get_root_of_unity(log_n: int) -> int:
+    """Primitive 2^log_n-th root of unity (StarkField::get_root_of_unity,
+    math/src/field/traits.rs:254)."""
+    assert 0 < log_n <= TWO_ADICITY
+    return pow(TWO_ADIC_ROOT_OF_UNITY, 1 << (TWO_ADICITY - log_n), P)

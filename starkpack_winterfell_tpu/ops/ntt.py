@@ -1,0 +1,183 @@
+"""Number-theoretic transform over Goldilocks on u32-limb arrays.
+
+Replaces the reference's FFT stack (math/src/fft/{mod,serial,fft_inputs}.rs)
+with a TPU-native formulation: an iterative radix-2 DIT transform expressed as
+log2(n) full-array vectorized stages (reshape/slice/concat + limb arithmetic),
+jittable end-to-end.  Only the *semantics* of the reference API are kept —
+natural-order evaluations in, natural-order coefficients out — the reference's
+in-place bit-reversed storage and chunked coset loop (serial.rs:26-57) are
+replaced by an upfront static-gather bit-reversal and a zero-padded full-size
+coset transform.
+
+Supports extension-field data via per-component base-field twiddle multiplies
+(mirroring FieldElement::mul_base semantics in fft_inputs.rs:107-123).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from . import gl64 as gl
+
+# cache: (n, inverse) -> list of per-stage twiddle (lo, hi) numpy pairs
+_TW_CACHE: dict = {}
+_REV_CACHE: dict = {}
+
+
+def _bit_rev_perm(n: int) -> np.ndarray:
+    if n in _REV_CACHE:
+        return _REV_CACHE[n]
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    _REV_CACHE[n] = rev
+    return rev
+
+
+def power_series(base: int, n: int, xp=np):
+    """[1, base, base^2, ..., base^(n-1)] as a (lo, hi) pair via log-doubling."""
+    out = gl.from_int(1, (1,))
+    out = (xp.asarray(out[0]), xp.asarray(out[1]))
+    length = 1
+    b = base % gl.P
+    while length < n:
+        step = pow(b, length, gl.P)
+        sc = gl.from_int(step, (1,))
+        sc = (xp.asarray(sc[0]), xp.asarray(sc[1]))
+        nxt = gl.mul(out, sc)
+        out = (xp.concatenate([out[0], nxt[0]]), xp.concatenate([out[1], nxt[1]]))
+        length *= 2
+    return (out[0][:n], out[1][:n])
+
+
+def _stage_twiddles(n: int, inverse: bool):
+    """Per-stage twiddle tables w_m^j (j < m/2) for m = 2, 4, ..., n."""
+    key = (n, inverse)
+    if key in _TW_CACHE:
+        return _TW_CACHE[key]
+    bits = n.bit_length() - 1
+    root = gl.get_root_of_unity(bits)
+    if inverse:
+        root = pow(root, gl.P - 2, gl.P)
+    tables = []
+    for s in range(1, bits + 1):
+        m = 1 << s
+        w_m = pow(root, n // m, gl.P)
+        half = m // 2
+        tw = np.empty(half, dtype=np.uint64)
+        acc = 1
+        if half <= 1024:
+            for j in range(half):
+                tw[j] = acc
+                acc = (acc * w_m) % gl.P
+            tables.append(gl.from_u64(tw))
+        else:
+            tables.append(tuple(np.asarray(x) for x in power_series(w_m, half)))
+    _TW_CACHE[key] = tables
+    return tables
+
+
+def ntt_components(comps, inverse: bool = False, scale: bool = True):
+    """Core transform.  ``comps`` is a tuple of (lo, hi) pairs (one per
+    extension component), each with shape (..., n).  Returns same structure.
+
+    Forward: result[..., i] = sum_j comps[..., j] * w^(i*j)  (natural order).
+    Inverse (with scale=True): coefficient form, scaled by 1/n.
+    """
+    xp = gl._xp(comps[0][0])
+    n = comps[0][0].shape[-1]
+    if n == 1:
+        return comps
+    assert n & (n - 1) == 0, "size must be a power of two"
+    bits = n.bit_length() - 1
+
+    rev = _bit_rev_perm(n)
+    comps = tuple((xp.take(lo, rev, axis=-1), xp.take(hi, rev, axis=-1)) for lo, hi in comps)
+
+    tables = _stage_twiddles(n, inverse)
+    for s in range(1, bits + 1):
+        m = 1 << s
+        half = m // 2
+        tw = tables[s - 1]
+        tw = (xp.asarray(tw[0]), xp.asarray(tw[1]))
+        new_comps = []
+        for lo, hi in comps:
+            shp = lo.shape[:-1] + (n // m, m)
+            ylo = lo.reshape(shp)
+            yhi = hi.reshape(shp)
+            elo, olo = ylo[..., :half], ylo[..., half:]
+            ehi, ohi = yhi[..., :half], yhi[..., half:]
+            t = gl.mul((olo, ohi), tw)
+            plo, phi = gl.add((elo, ehi), t)
+            mlo, mhi = gl.sub((elo, ehi), t)
+            new_comps.append(
+                (
+                    xp.concatenate([plo, mlo], axis=-1).reshape(lo.shape),
+                    xp.concatenate([phi, mhi], axis=-1).reshape(hi.shape),
+                )
+            )
+        comps = tuple(new_comps)
+
+    if inverse and scale:
+        n_inv = pow(n, gl.P - 2, gl.P)
+        comps = tuple(_scale_const(c, n_inv, xp) for c in comps)
+    return comps
+
+
+def _scale_const(c, k: int, xp):
+    kc = gl.from_int(k)
+    kc = (xp.asarray(kc[0]), xp.asarray(kc[1]))
+    return gl.mul(c, kc)
+
+
+# ---------------------------------------------------------------------------
+# reference-API equivalents (semantics of math/src/fft/serial.rs)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_poly(comps):
+    """Coefficients -> evaluations over the size-n subgroup (natural order)."""
+    return ntt_components(comps, inverse=False)
+
+
+def evaluate_poly_with_offset(comps, domain_offset: int, blowup_factor: int):
+    """Coefficients (n) -> evaluations over the coset s*<w_L> of size
+    L = n * blowup (natural order: result[i] = P(s * w_L^i)).
+
+    Equivalent to fft/serial.rs:26-57; implemented as scale-by-s^j + zero-pad
+    + full-size transform.
+    """
+    xp = gl._xp(comps[0][0])
+    n = comps[0][0].shape[-1]
+    big_n = n * blowup_factor
+    offs = power_series(domain_offset, n, xp)
+    scaled = []
+    for c in comps:
+        sc = gl.mul(c, offs)
+        pad_shape = c[0].shape[:-1] + (big_n - n,)
+        scaled.append(
+            (
+                xp.concatenate([sc[0], xp.zeros(pad_shape, dtype=np.uint32)], axis=-1),
+                xp.concatenate([sc[1], xp.zeros(pad_shape, dtype=np.uint32)], axis=-1),
+            )
+        )
+    return ntt_components(tuple(scaled), inverse=False)
+
+
+def interpolate_poly(comps):
+    """Evaluations over subgroup (natural order) -> coefficients."""
+    return ntt_components(comps, inverse=True, scale=True)
+
+
+def interpolate_poly_with_offset(comps, domain_offset: int):
+    """Evaluations over coset s*<w_n> -> coefficients (serial.rs:78-93)."""
+    xp = gl._xp(comps[0][0])
+    n = comps[0][0].shape[-1]
+    coeffs = ntt_components(comps, inverse=True, scale=True)
+    inv_off = pow(domain_offset, gl.P - 2, gl.P)
+    offs = power_series(inv_off, n, xp)
+    return tuple(gl.mul(c, offs) for c in coeffs)
