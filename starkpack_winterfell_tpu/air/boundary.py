@@ -1,0 +1,138 @@
+"""Boundary constraints — equivalent of air/src/air/boundary/.
+
+Assertions are sorted by (stride, first_step, column), paired with
+composition coefficients in that order, and grouped by divisor key
+(stride, first_step) (boundary/mod.rs:96-151).
+"""
+
+from __future__ import annotations
+
+from ..math import polynom, scalar as fs
+from .divisors import ConstraintDivisor
+
+
+class BoundaryConstraint:
+    """boundary/constraint.rs:31 — single-column constraint with value poly."""
+
+    def __init__(self, assertion, inv_g: int, composition_coefficient):
+        self.column = assertion.column
+        poly = list(assertion.values)
+        self.poly_offset = (0, 1)
+        if len(poly) > 1:
+            # interpolate the sequence values over a subgroup of size len
+            poly = _interpolate_subgroup(poly)
+            if assertion.first_step != 0:
+                x_offset = pow(inv_g, assertion.first_step, fs.P)
+                self.poly_offset = (assertion.first_step, x_offset)
+        self.poly = poly
+        self.cc = composition_coefficient
+
+    def evaluate_at(self, x, trace_value):
+        """constraint.rs:104-112 — host scalar."""
+        if len(self.poly) == 1:
+            assertion_value = self.poly[0]
+        else:
+            xx = fs.fmul(x, self.poly_offset[1])
+            assertion_value = polynom.eval_at(self.poly, xx)
+        return fs.fsub(trace_value, assertion_value)
+
+
+class BoundaryConstraintGroup:
+    """boundary/constraint_group.rs — constraints sharing one divisor."""
+
+    def __init__(self, divisor: ConstraintDivisor):
+        self.divisor = divisor
+        self.constraints = []
+
+    def add(self, assertion, inv_g, cc):
+        self.constraints.append(BoundaryConstraint(assertion, inv_g, cc))
+
+    def evaluate_at(self, state, x):
+        """constraint_group.rs evaluate_at — host scalar (verifier)."""
+        numerator = fs.zero()
+        for c in self.constraints:
+            evaluation = c.evaluate_at(x, state[c.column])
+            numerator = fs.fadd(numerator, fs.fmul(evaluation, c.cc))
+        return fs.fdiv(numerator, self.divisor.evaluate_at(x))
+
+
+class BoundaryConstraints:
+    """boundary/mod.rs:37 — main + aux constraint groups."""
+
+    def __init__(self, context, main_assertions, aux_assertions, composition_coefficients):
+        assert len(main_assertions) == context.num_main_assertions
+        assert len(aux_assertions) == context.num_aux_assertions
+        assert context.num_assertions() == len(composition_coefficients)
+
+        trace_length = context.trace_info.length
+        main_width = context.trace_info.layout.main_trace_width()
+        aux_width = context.trace_info.layout.aux_trace_width()
+
+        main_sorted = _prepare_assertions(main_assertions, main_width, trace_length)
+        aux_sorted = _prepare_assertions(aux_assertions, aux_width, trace_length)
+
+        inv_g = pow(
+            context.trace_domain_generator, fs.P - 2, fs.P
+        )
+
+        main_ccs = composition_coefficients[: len(main_sorted)]
+        aux_ccs = composition_coefficients[len(main_sorted) :]
+
+        self.main_constraints = _group_constraints(main_sorted, context, main_ccs, inv_g)
+        self.aux_constraints = _group_constraints(aux_sorted, context, aux_ccs, inv_g)
+
+
+def _prepare_assertions(assertions, trace_width, trace_length):
+    result = []
+    for assertion in assertions:
+        assertion.validate_trace_width(trace_width)
+        assertion.validate_trace_length(trace_length)
+        for a in result:
+            if a.column == assertion.column:
+                assert not a.overlaps_with(assertion), (
+                    f"assertion {assertion} overlaps with {a}"
+                )
+        result.append(assertion)
+    return sorted(result)
+
+
+def _group_constraints(assertions, context, ccs, inv_g):
+    groups = {}
+    order = []
+    for assertion, cc in zip(assertions, ccs):
+        key = (assertion.stride, assertion.first_step)
+        if key not in groups:
+            groups[key] = BoundaryConstraintGroup(
+                ConstraintDivisor.from_assertion(assertion, context.trace_len())
+            )
+            order.append(key)
+        groups[key].add(assertion, inv_g, cc)
+    # BTreeMap iteration order = sorted by key
+    return [groups[k] for k in sorted(groups.keys())]
+
+
+def _interpolate_subgroup(values):
+    """iFFT interpolation of sequence assertion values over the subgroup of
+    size len(values) (constraint.rs:34-38)."""
+    import numpy as np
+
+    from ..ops import gl64 as gl, ntt
+
+    n = len(values)
+    if all(isinstance(v, int) for v in values):
+        arr = gl.from_u64(np.array(values, dtype=np.uint64))
+        coeffs = ntt.interpolate_poly((arr,))
+        return [int(v) for v in gl.to_u64(coeffs[0])]
+    # extension-valued sequence (aux assertions): per-component interpolation
+    deg = fs.deg_of(values[0])
+    comps = []
+    for c in range(deg):
+        arr = gl.from_u64(
+            np.array([fs.components(fs.embed(v, deg))[c] for v in values], dtype=np.uint64)
+        )
+        comps.append(arr)
+    coeffs = ntt.interpolate_poly(tuple(comps))
+    out = []
+    for i in range(n):
+        out.append(tuple(int(gl.to_u64(coeffs[c])[i]) for c in range(deg)))
+    return out

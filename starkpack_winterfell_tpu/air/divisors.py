@@ -1,0 +1,63 @@
+"""Constraint divisors — equivalent of air/src/air/divisor.rs.
+
+A divisor has the form  z(x) = prod (x^a_i - b_i) / prod (x - e_j)  with,
+currently, a single numerator term (divisor.rs:26).
+"""
+
+from __future__ import annotations
+
+from ..math import scalar as fs
+
+
+class ConstraintDivisor:
+    def __init__(self, numerator, exemptions):
+        self.numerator = list(numerator)  # [(degree, constant int)]
+        self.exemptions = list(exemptions)  # [int]
+
+    @classmethod
+    def from_transition(cls, trace_length: int, num_exemptions: int) -> "ConstraintDivisor":
+        """z(x) = (x^n - 1) / prod_{i} (x - g^{n-i}) (divisor.rs:56-65)."""
+        assert num_exemptions > 0
+        exemptions = [
+            _trace_domain_value_at(trace_length, step)
+            for step in range(trace_length - num_exemptions, trace_length)
+        ]
+        return cls([(trace_length, 1)], exemptions)
+
+    @classmethod
+    def from_assertion(cls, assertion, trace_length: int) -> "ConstraintDivisor":
+        """z(x) = x^k - g^{a*k} (divisor.rs:90-102)."""
+        num_steps = assertion.get_num_steps(trace_length)
+        if assertion.first_step == 0:
+            return cls([(num_steps, 1)], [])
+        trace_offset = num_steps * assertion.first_step
+        offset = _trace_domain_value_at(trace_length, trace_offset)
+        return cls([(num_steps, offset)], [])
+
+    def degree(self) -> int:
+        return sum(d for d, _ in self.numerator) - len(self.exemptions)
+
+    def evaluate_at(self, x):
+        num = fs.one(fs.deg_of(x)) if not isinstance(x, int) else 1
+        for degree, constant in self.numerator:
+            num = fs.fmul(num, fs.fsub(fs.fexp(x, degree), constant))
+        den = self.evaluate_exemptions_at(x)
+        return fs.fdiv(num, den)
+
+    def evaluate_exemptions_at(self, x):
+        result = fs.one(fs.deg_of(x)) if not isinstance(x, int) else 1
+        for e in self.exemptions:
+            result = fs.fmul(result, fs.fsub(x, e))
+        return result
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, ConstraintDivisor)
+            and self.numerator == other.numerator
+            and self.exemptions == other.exemptions
+        )
+
+
+def _trace_domain_value_at(trace_length: int, step: int) -> int:
+    g = fs.get_root_of_unity(trace_length.bit_length() - 1)
+    return pow(g, step, fs.P)

@@ -1,0 +1,84 @@
+"""ProofOptions / FieldExtension — equivalent of air/src/options.rs."""
+
+from __future__ import annotations
+
+from ..utils.serde import ByteWriter, SliceReader
+
+
+class FieldExtension:
+    NONE = 1
+    QUADRATIC = 2
+    CUBIC = 3
+
+
+class ProofOptions:
+    """air/src/options.rs:78 — validation bounds at options.rs:17-27."""
+
+    MIN_BLOWUP_FACTOR = 2
+
+    def __init__(
+        self,
+        num_queries: int,
+        blowup_factor: int,
+        grinding_factor: int,
+        field_extension: int = FieldExtension.NONE,
+        fri_folding_factor: int = 8,
+        fri_remainder_max_degree: int = 255,
+    ):
+        assert 0 < num_queries <= 255, "number of queries must be in (0, 255]"
+        assert (
+            blowup_factor & (blowup_factor - 1) == 0 and 2 <= blowup_factor <= 128
+        ), "blowup factor must be a power of two in [2, 128]"
+        assert 0 <= grinding_factor <= 32
+        assert field_extension in (1, 2, 3)
+        assert fri_folding_factor in (2, 4, 8, 16)
+        assert (
+            fri_remainder_max_degree + 1
+        ) & fri_remainder_max_degree == 0 and fri_remainder_max_degree <= 255, (
+            "FRI remainder max degree must be one less than a power of two, <= 255"
+        )
+        self.num_queries = num_queries
+        self.blowup_factor = blowup_factor
+        self.grinding_factor = grinding_factor
+        self.field_extension = field_extension
+        self.fri_folding_factor = fri_folding_factor
+        self.fri_remainder_max_degree = fri_remainder_max_degree
+
+    @property
+    def extension_degree(self) -> int:
+        return self.field_extension
+
+    def domain_offset(self) -> int:
+        """Hard-coded to the field's primitive element (options.rs:199-201)."""
+        return 7  # GENERATOR of f64
+
+    def to_fri_options(self):
+        from ..fri.options import FriOptions
+
+        return FriOptions(
+            self.blowup_factor, self.fri_folding_factor, self.fri_remainder_max_degree
+        )
+
+    def to_elements(self):
+        """options.rs:211-225 — ext/folding/remainder packed into one element."""
+        buf = self.field_extension
+        buf = (buf << 8) | self.fri_folding_factor
+        buf = (buf << 8) | self.fri_remainder_max_degree
+        return [buf, self.grinding_factor, self.blowup_factor, self.num_queries]
+
+    def write_into(self, w: ByteWriter):
+        w.write_u8(self.num_queries)
+        w.write_u8(self.blowup_factor)
+        w.write_u8(self.grinding_factor)
+        w.write_u8(self.field_extension)
+        w.write_u8(self.fri_folding_factor)
+        w.write_u8(self.fri_remainder_max_degree)
+
+    @classmethod
+    def read_from(cls, r: SliceReader) -> "ProofOptions":
+        return cls(
+            r.read_u8(), r.read_u8(), r.read_u8(), r.read_u8(), r.read_u8(), r.read_u8()
+        )
+
+    def __eq__(self, other):
+        return isinstance(other, ProofOptions) and self.__dict__ == other.__dict__

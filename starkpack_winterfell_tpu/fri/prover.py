@@ -1,0 +1,145 @@
+"""FRI prover — equivalent of fri/src/prover/mod.rs, vectorized.
+
+The commit phase's per-layer work (transpose → row hash → Merkle → DRP fold)
+is expressed as full-array limb operations: the reference's per-position
+micro-interpolation loop (folding/mod.rs:85-117) becomes one batched
+N-point inverse NTT + Horner evaluation at ``inv_offset_i * alpha`` across
+all folded positions at once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..crypto.merkle import MerkleTree, build_levels
+from ..math import scalar as fs
+from ..ops import gl64 as gl, ntt, vec
+from ..utils.convert import limbs_to_elems, rows_to_words, scalar_to_limbs
+from .proof import FriProof, FriProofLayer
+
+
+class FriLayer:
+    def __init__(self, tree: MerkleTree, transposed, m: int, n: int):
+        self.tree = tree
+        self.transposed = transposed  # tuple of pairs, shape (m, N)
+        self.m = m
+        self.N = n
+
+
+class FriProver:
+    def __init__(self, options, hasher, ext_deg: int):
+        self.options = options
+        self.hasher = hasher
+        self.ext_deg = ext_deg
+        self.layers = []
+        self.remainder_poly = None
+
+    def num_layers(self) -> int:
+        return len(self.layers)
+
+    def reset(self):
+        self.layers = []
+        self.remainder_poly = None
+
+    def build_layers(self, channel, evaluations):
+        """evaluations: tuple of `ext_deg` (lo, hi) pairs, shape (L,).
+        fri/src/prover/mod.rs:172-226."""
+        assert not self.layers, "prior proof generation has not been completed"
+        n_layers = self.options.num_fri_layers(evaluations[0][0].shape[-1])
+        for _ in range(n_layers):
+            evaluations = self._build_layer(channel, evaluations)
+        self._set_remainder(channel, evaluations)
+
+    def _build_layer(self, channel, evaluations):
+        N = self.options.folding_factor
+        L = evaluations[0][0].shape[-1]
+        m = L // N
+        # transposed[i][j] = evals[i + j*m] -> reshape (N, m) then swap axes
+        transposed = tuple(
+            (c[0].reshape(N, m).T, c[1].reshape(N, m).T) for c in evaluations
+        )
+        words = rows_to_words(transposed, self.ext_deg)
+        hashed = self.hasher.hash_words(words, N * self.ext_deg * 8)
+        tree = MerkleTree(build_levels(np.asarray(hashed), self.hasher), self.hasher)
+        channel.commit_fri_layer(tree.root())
+        alpha = channel.draw_fri_alpha()
+        folded = apply_drp(
+            transposed, self.options.domain_offset(), alpha, self.ext_deg
+        )
+        self.layers.append(FriLayer(tree, transposed, m, N))
+        return folded
+
+    def _set_remainder(self, channel, evaluations):
+        """Interpolate with the layer-domain offset, truncate to the true
+        polynomial size, hash whole (prover/mod.rs:218-226)."""
+        coeffs = ntt.interpolate_poly_with_offset(
+            evaluations, self.options.domain_offset()
+        )
+        size = evaluations[0][0].shape[-1] // self.options.blowup_factor
+        coeffs = tuple((c[0][:size], c[1][:size]) for c in coeffs)
+        remainder_elements = limbs_to_elems(coeffs, self.ext_deg)
+        commitment = self.hasher.hash_elements(remainder_elements)
+        channel.commit_fri_layer(commitment)
+        self.remainder_poly = remainder_elements
+
+    def build_proof(self, positions) -> FriProof:
+        """fri/src/prover/mod.rs:239-278."""
+        assert self.remainder_poly is not None, "FRI layers have not been built yet"
+        layers = []
+        if self.layers:
+            positions = list(positions)
+            domain_size = self.layers[0].m * self.layers[0].N
+            N = self.options.folding_factor
+            for layer in self.layers:
+                positions = fold_positions(positions, domain_size, N)
+                proof = layer.tree.prove_batch(positions)
+                # row i of the transposed matrix = the N values for position i
+                rows = []
+                for pos in positions:
+                    row_limbs = tuple(
+                        (c[0][pos], c[1][pos]) for c in layer.transposed
+                    )
+                    rows.append(limbs_to_elems(row_limbs, self.ext_deg))
+                layers.append(FriProofLayer.new(rows, proof, self.ext_deg))
+                domain_size //= N
+        remainder = self.remainder_poly
+        self.reset()
+        return FriProof.new(layers, remainder, 1)
+
+
+def apply_drp(transposed, domain_offset: int, alpha, ext_deg: int):
+    """Degree-respecting projection (fri/src/folding/mod.rs:85-117).
+
+    transposed: tuple of pairs shaped (m, N) — row i holds f at the N source
+    positions folding to position i.  Row i's micro-coset has offset
+    c * w^i (w = root of the source domain); interpolation + evaluation at
+    alpha collapses to Horner at (c * w^i)^{-1} * alpha over the row's iNTT.
+    """
+    m, N = transposed[0][0].shape
+    xp = gl._xp(transposed[0][0])
+    coeffs = ntt.interpolate_poly(transposed)  # per-row iNTT incl. 1/N scale
+    # inverse offsets: (c * w^i)^{-1} for i in 0..m
+    src_size = m * N
+    g = fs.get_root_of_unity(src_size.bit_length() - 1)
+    inv_g = pow(g, fs.P - 2, fs.P)
+    inv_c = pow(domain_offset, fs.P - 2, fs.P)
+    inv_offs = ntt.power_series(inv_g, m, xp)
+    inv_c_pair = gl.from_int(inv_c, (1,))
+    inv_c_pair = (xp.asarray(inv_c_pair[0]), xp.asarray(inv_c_pair[1]))
+    inv_offs = gl.mul(inv_offs, inv_c_pair)  # (m,)
+    # x_i = inv_offs[i] * alpha  (ext scalar)
+    alpha_l = scalar_to_limbs(alpha, ext_deg)
+    alpha_l = tuple((xp.asarray(a[0]), xp.asarray(a[1])) for a in alpha_l)
+    x = vec.vmul(vec.vbroadcast(alpha_l, (m,)), (inv_offs,))
+    return vec.horner(coeffs, x, axis=-1)
+
+
+def fold_positions(positions, source_domain_size: int, folding_factor: int):
+    """fri/src/folding/mod.rs:158-175 — mod + dedup preserving order."""
+    target = source_domain_size // folding_factor
+    result = []
+    for p in positions:
+        p = p % target
+        if p not in result:
+            result.append(p)
+    return result

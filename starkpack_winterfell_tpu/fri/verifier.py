@@ -1,0 +1,145 @@
+"""FRI verifier — equivalent of fri/src/verifier/mod.rs (host-side; all
+work here is O(num_queries · folding_factor) scalar math)."""
+
+from __future__ import annotations
+
+from ..math import polynom, scalar as fs
+from .prover import fold_positions
+
+
+class VerifierChannelFri:
+    """Default verifier channel semantics (fri/src/verifier/channel.rs):
+    parses layer queries, batch-verifies Merkle openings lazily, checks the
+    remainder hash against the last commitment."""
+
+    def __init__(self, fri_proof, layer_commitments, hasher, domain_size: int,
+                 folding_factor: int, ext_deg: int):
+        layer_queries, layer_proofs = fri_proof.parse_layers(
+            hasher, domain_size, folding_factor, ext_deg
+        )
+        self.layer_commitments = layer_commitments
+        self.layer_queries = layer_queries
+        self.layer_proofs = layer_proofs
+        self.remainder = fri_proof.parse_remainder(ext_deg)
+        self.num_partitions = fri_proof.num_partitions()
+        self.hasher = hasher
+        self.folding_factor = folding_factor
+        self._layer_idx = 0
+
+    def read_fri_num_partitions(self) -> int:
+        return self.num_partitions
+
+    def read_fri_layer_commitments(self):
+        return list(self.layer_commitments)
+
+    def read_layer_queries(self, positions, commitment):
+        from ..crypto.merkle import verify_batch
+
+        idx = self._layer_idx
+        self._layer_idx += 1
+        proof = self.layer_proofs[idx]
+        if not verify_batch(commitment, positions, proof):
+            raise FriVerificationError(f"layer {idx} Merkle verification failed")
+        qv = self.layer_queries[idx]
+        N = self.folding_factor
+        return [qv[i * N : (i + 1) * N] for i in range(len(qv) // N)]
+
+    def read_remainder(self):
+        commitment = self.layer_commitments[-1]
+        if self.hasher.hash_elements(self.remainder) != commitment:
+            raise FriVerificationError("remainder commitment mismatch")
+        return self.remainder
+
+
+class FriVerificationError(Exception):
+    pass
+
+
+class FriVerifier:
+    def __init__(self, channel, public_coin, options, max_poly_degree: int,
+                 ext_deg: int):
+        """Reads layer commitments, reseeds, draws alphas
+        (fri/src/verifier/mod.rs:102-148)."""
+        self.options = options
+        self.max_poly_degree = max_poly_degree
+        self.ext_deg = ext_deg
+        self.domain_size = _next_pow2(max_poly_degree) * options.blowup_factor
+        self.domain_generator = fs.get_root_of_unity(self.domain_size.bit_length() - 1)
+        self.num_partitions = channel.read_fri_num_partitions()
+
+        self.layer_commitments = channel.read_fri_layer_commitments()
+        self.layer_alphas = []
+        max_degree_plus_1 = max_poly_degree + 1
+        for depth, commitment in enumerate(self.layer_commitments):
+            public_coin.reseed(commitment)
+            alpha = public_coin.draw(ext_deg)
+            self.layer_alphas.append(alpha)
+            if (
+                depth != len(self.layer_commitments) - 1
+                and max_degree_plus_1 % options.folding_factor != 0
+            ):
+                raise FriVerificationError("degree truncation")
+            max_degree_plus_1 //= options.folding_factor
+
+    def verify(self, channel, evaluations, positions):
+        """fri/src/verifier/mod.rs:204-330."""
+        if len(evaluations) != len(positions):
+            raise FriVerificationError("position/evaluation count mismatch")
+        N = self.options.folding_factor
+        folding_roots = [
+            pow(self.domain_generator, self.domain_size // N * i, fs.P) for i in range(N)
+        ]
+
+        domain_generator = self.domain_generator
+        domain_size = self.domain_size
+        max_degree_plus_1 = self.max_poly_degree + 1
+        positions = list(positions)
+        evaluations = list(evaluations)
+
+        for depth in range(self.options.num_fri_layers(self.domain_size)):
+            folded_positions = fold_positions(positions, domain_size, N)
+            # num_partitions == 1 -> tree positions == folded positions
+            layer_commitment = self.layer_commitments[depth]
+            layer_values = channel.read_layer_queries(folded_positions, layer_commitment)
+            query_values = _get_query_values(
+                layer_values, positions, folded_positions, domain_size, N
+            )
+            if evaluations != query_values:
+                raise FriVerificationError(f"invalid layer folding at depth {depth}")
+
+            xs_rows = []
+            for i in folded_positions:
+                xe = pow(domain_generator, i, fs.P) * self.options.domain_offset() % fs.P
+                xs_rows.append([xe * r % fs.P for r in folding_roots])
+            row_polys = polynom.interpolate_batch(xs_rows, layer_values)
+            alpha = self.layer_alphas[depth]
+            evaluations = [polynom.eval_at(p, alpha) for p in row_polys]
+
+            if max_degree_plus_1 % N != 0:
+                raise FriVerificationError("degree truncation")
+            domain_generator = pow(domain_generator, N, fs.P)
+            max_degree_plus_1 //= N
+            domain_size //= N
+            positions = folded_positions
+
+        remainder_poly = channel.read_remainder()
+        if len(remainder_poly) > max_degree_plus_1:
+            raise FriVerificationError("remainder degree mismatch")
+        offset = self.options.domain_offset()
+        for position, evaluation in zip(positions, evaluations):
+            x = offset * pow(domain_generator, position, fs.P) % fs.P
+            if polynom.eval_at(remainder_poly, x) != evaluation:
+                raise FriVerificationError("invalid remainder folding")
+
+
+def _get_query_values(values, positions, folded_positions, domain_size, N):
+    row_length = domain_size // N
+    result = []
+    for position in positions:
+        idx = folded_positions.index(position % row_length)
+        result.append(values[idx][position // row_length])
+    return result
+
+
+def _next_pow2(v: int) -> int:
+    return 1 if v <= 1 else 1 << (v - 1).bit_length()

@@ -1,0 +1,93 @@
+"""Host polynomial algebra on python-int/tuple coefficients.
+
+Equivalent of math/src/polynom/mod.rs for the small, irregular host-side
+computations (verifier row interpolation, periodic polys, remainder checks).
+Bulk polynomial work runs through ops/ntt.py on device.
+"""
+
+from __future__ import annotations
+
+from .scalar import P, fadd, fdiv, finv, fmul, fneg, fsub, is_zero, mul_base, zero
+
+
+def eval_at(p, x):
+    """Horner evaluation (polynom/mod.rs:53).  Coefficients may be of lower
+    degree than x (e.g. base poly at extension point)."""
+    acc = 0
+    for c in reversed(p):
+        acc = fadd(fmul(acc, x), c)
+    return acc
+
+
+def eval_many(p, xs):
+    return [eval_at(p, x) for x in xs]
+
+
+def interpolate(xs, ys):
+    """Lagrange interpolation (polynom/mod.rs:112) — O(n^2), used for tiny n."""
+    n = len(xs)
+    result = [zero() for _ in range(n)]
+    for i in range(n):
+        # numerator poly prod_{j != i} (x - x_j)
+        num = [1]
+        for j in range(n):
+            if j == i:
+                continue
+            # num *= (x - xs[j])
+            new = [zero() for _ in range(len(num) + 1)]
+            for k, c in enumerate(num):
+                new[k + 1] = fadd(new[k + 1], c)
+                new[k] = fsub(new[k], fmul(c, xs[j]))
+            num = new
+        denom = 1
+        for j in range(n):
+            if j != i:
+                denom = fmul(denom, fsub(xs[i], xs[j]))
+        scale = fmul(ys[i], finv(denom))
+        for k in range(len(num)):
+            result[k] = fadd(result[k], fmul(num[k], scale))
+    return result
+
+
+def interpolate_batch(xs_rows, ys_rows):
+    """polynom/mod.rs:179 — interpolate many small (x, y) row sets."""
+    return [interpolate(xs, ys) for xs, ys in zip(xs_rows, ys_rows)]
+
+
+def degree_of(p) -> int:
+    for i in range(len(p) - 1, -1, -1):
+        if not is_zero(p[i]):
+            return i
+    return 0
+
+
+def syn_div(p, a: int, b):
+    """Divide p by (x^a - b), returning the quotient (semantics of
+    polynom/mod.rs:472; exact when (x^a - b) divides p)."""
+    assert a != 0
+    n = len(p)
+    q = [zero() for _ in range(n - a)]
+    for i in range(n - a - 1, -1, -1):
+        hi = q[i + a] if i + a < n - a else zero()
+        q[i] = fadd(p[i + a], fmul(b, hi))
+    return q
+
+
+def syn_div_binomial(p, z):
+    """Divide p by (x - z) assuming p(z) == 0; returns quotient of len-1."""
+    n = len(p)
+    q = [zero() for _ in range(n - 1)]
+    acc = p[n - 1]
+    for i in range(n - 2, -1, -1):
+        q[i] = acc
+        acc = fadd(fmul(acc, z), p[i])
+    # acc is the remainder p(z); caller may assert it is zero
+    return q
+
+
+def mul(p1, p2):
+    out = [zero() for _ in range(len(p1) + len(p2) - 1)]
+    for i, a in enumerate(p1):
+        for j, b in enumerate(p2):
+            out[i + j] = fadd(out[i + j], fmul(a, b))
+    return out

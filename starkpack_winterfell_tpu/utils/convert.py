@@ -1,0 +1,53 @@
+"""Conversions between host scalar elements (ints/tuples), u32-limb arrays,
+and hash-word layouts."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..math import scalar as fs
+from ..ops import gl64 as gl
+
+
+def elems_to_limbs(elements, deg: int):
+    """List of ints/tuples -> tuple of `deg` (lo, hi) numpy pairs, shape (n,)."""
+    comps = []
+    for c in range(deg):
+        arr = np.array(
+            [fs.components(fs.embed(e, deg))[c] for e in elements], dtype=np.uint64
+        )
+        comps.append(gl.from_u64(arr))
+    return tuple(comps)
+
+
+def limbs_to_elems(comps, deg: int):
+    """Tuple of `deg` (lo, hi) pairs with shape (n,) -> list of ints/tuples."""
+    u64s = [gl.to_u64(c) for c in comps]
+    n = u64s[0].shape[0]
+    if deg == 1:
+        return [int(v) for v in u64s[0]]
+    return [tuple(int(u64s[c][i]) for c in range(deg)) for i in range(n)]
+
+
+def rows_to_words(comps, deg: int):
+    """Row data -> BLAKE3 word layout.
+
+    comps: tuple of `deg` (lo, hi) pairs, each shaped (..., W) where W is the
+    number of elements per row.  Elements serialize as canonical LE u64 per
+    component in order, i.e. words [c0.lo, c0.hi, c1.lo, c1.hi, ...] per
+    element.  Returns (..., W * deg * 2) uint32 word array.
+    """
+    xp = gl._xp(comps[0][0])
+    parts = []
+    for c in range(deg):
+        lo, hi = comps[c]
+        parts.append(xp.stack([lo, hi], axis=-1))  # (..., W, 2)
+    stacked = xp.stack(parts, axis=-2)  # (..., W, deg, 2)
+    shape = stacked.shape[:-3] + (stacked.shape[-3] * deg * 2,)
+    return stacked.reshape(shape)
+
+
+def scalar_to_limbs(v, deg: int, shape=(1,)):
+    """Single element -> tuple of `deg` (lo, hi) pairs broadcast to shape."""
+    comps = fs.components(fs.embed(v, deg))
+    return tuple(gl.from_int(c, shape) for c in comps)
