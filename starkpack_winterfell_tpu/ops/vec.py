@@ -141,6 +141,67 @@ def horner(coeffs, x, axis=-1):
     return acc
 
 
+def suffix_sums(a, axis=-1):
+    """Inclusive suffix sums along `axis` via Hillis-Steele doubling —
+    log2(n) full-width modular adds (works under numpy and jax)."""
+    xp = gl._xp(a[0][0])
+    n = a[0][0].shape[axis]
+    axis = axis % a[0][0].ndim
+    comps = a
+    shift = 1
+    while shift < n:
+        new_comps = []
+        for c in comps:
+            # c + shift_left(c) where shifted-out positions add zero
+            pad_idx = [slice(None)] * c[0].ndim
+            pad_idx[axis] = slice(shift, n)
+            z_idx = [slice(None)] * c[0].ndim
+            z_idx[axis] = slice(0, shift)
+            shifted_lo = xp.concatenate(
+                [c[0][tuple(pad_idx)], xp.zeros_like(c[0][tuple(z_idx)])], axis=axis
+            )
+            shifted_hi = xp.concatenate(
+                [c[1][tuple(pad_idx)], xp.zeros_like(c[1][tuple(z_idx)])], axis=axis
+            )
+            new_comps.append((shifted_lo, shifted_hi))
+        # add componentwise as full elements (base adds per component)
+        comps = tuple(
+            gl.add(c, s) for c, s in zip(comps, new_comps)
+        )
+        shift *= 2
+    return comps
+
+
+def syn_div_binomial(p, z, n: int = None):
+    """Divide polynomial p (coeff component-tuple, shape (..., n)) by (x - z)
+    where z is a nonzero element (shape-(1,) component tuple) and p(z) == 0.
+
+    Uses q_i = z^{-(i+1)} * sum_{j>i} p_j z^j — exact in field arithmetic and
+    fully parallel (one power series + suffix scan + two multiplies), in
+    place of the reference's sequential synthetic division
+    (polynom/mod.rs:524).  Returns coefficients of the quotient, padded with
+    a zero in the top slot (same length as p).
+    """
+    xp = gl._xp(p[0][0])
+    nn = p[0][0].shape[-1]
+    d = max(len(p), len(z))
+    zp = vec_pow_series = power_series_elem(z, nn)  # z^j, shape (n,)
+    s = vmul(promote(p, d), zp)  # p_j z^j
+    suf = suffix_sums(s, axis=-1)  # S_i = sum_{j>=i} p_j z^j
+    # exclusive suffix: S_{i+1} = shift left by one, zero-fill at top
+    excl = tuple(
+        (
+            xp.concatenate([c[0][..., 1:], xp.zeros_like(c[0][..., :1])], axis=-1),
+            xp.concatenate([c[1][..., 1:], xp.zeros_like(c[1][..., :1])], axis=-1),
+        )
+        for c in suf
+    )
+    z_inv = vinv(z)
+    zi = power_series_elem(z_inv, nn)  # z^{-i}
+    zi = vmul(zi, vbroadcast(z_inv, (nn,)))  # z^{-(i+1)}
+    return vmul(excl, zi)
+
+
 def power_series_elem(x, n: int):
     """[1, x, x^2, ..., x^(n-1)] for an element-array x of shape (1,) ->
     tuple of pairs shaped (n,).  Log-doubling, works for any degree."""

@@ -1,0 +1,208 @@
+"""The StarkPack batched proving pipeline — equivalent of
+prover/src/lib.rs generate_proof (the 8-phase flow in SURVEY.md §3.1).
+
+``Prover`` is the user-facing trait: subclasses provide the AIR class, proof
+options, hash function and public-input extraction; ``prove(n, traces)``
+produces one aggregated StarkProof for all traces sharing a single
+Fiat-Shamir transcript (prover/src/lib.rs:167).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..air.air import AuxTraceRandElements
+from ..fri.prover import FriProver
+from ..math import scalar as fs
+from ..ops import vec
+from ..utils.convert import limbs_to_elems, scalar_to_limbs
+from .channel import ProverChannel
+from .commitment import (
+    build_constraint_queries,
+    build_segment_queries,
+    commit_to_comb_rows,
+    commit_to_rows,
+    interpolate_and_lde,
+)
+from .composer import DeepCompositionPoly
+from .constraints import ConstraintEvaluator, apply_divisors
+from .domain import StarkDomain
+from ..ops import ntt
+
+
+class Prover:
+    """Subclass interface (prover/src/lib.rs:124):
+    - ``air_class``: the Air subclass
+    - ``hasher``: a hasher from crypto.hashers
+    - ``get_pub_inputs(trace)``: public inputs object with ``to_elements()``
+    - ``options()``: ProofOptions
+    """
+
+    air_class = None
+    hasher = None
+
+    def get_pub_inputs(self, trace):
+        raise NotImplementedError
+
+    def options(self):
+        raise NotImplementedError
+
+    def prove(self, n: int, traces):
+        ext_deg = self.options().field_extension
+        return self._generate_proof(n, traces, ext_deg)
+
+    # -- pipeline ------------------------------------------------------------
+
+    def _generate_proof(self, n: int, traces, ext_deg: int):
+        assert n == len(traces)
+        options = self.options()
+
+        # Phase 0: public inputs, AIRs, channel (lib.rs:205-228)
+        pub_inputs_vec = [self.get_pub_inputs(t) for t in traces]
+        pub_elements_vec = [p.to_elements() for p in pub_inputs_vec]
+        airs = [
+            self.air_class(t.get_info(), p, options)
+            for t, p in zip(traces, pub_inputs_vec)
+        ]
+        channel = ProverChannel(n, airs, pub_elements_vec, self.hasher, ext_deg)
+
+        # domain from the AIR with the largest trace (lib.rs:241-257)
+        max_idx = max(range(n), key=lambda i: airs[i].trace_length())
+        domain = StarkDomain(airs[max_idx])
+
+        # Phase 1: trace commitment (lib.rs:615-670)
+        main_segments = [t.main_segment_limbs() for t in traces]
+        main_polys, main_ldes = interpolate_and_lde(
+            main_segments, domain.domain_offset, domain.trace_to_lde_blowup
+        )
+        main_tree = commit_to_comb_rows(main_ldes, self.hasher, 1)
+        channel.commit_trace(main_tree.root())
+
+        traces_polys = [{"main": p, "aux": []} for p in main_polys]
+        traces_ldes = [{"main": l, "aux": []} for l in main_ldes]
+        aux_trees = []
+        aux_traces_rand_elements = [AuxTraceRandElements() for _ in range(n)]
+
+        for seg_idx in range(traces[0].num_aux_segments()):
+            aux_segments = []
+            for i, trace in enumerate(traces):
+                rand_elements = channel.get_aux_trace_segment_rand_elements(seg_idx)
+                aux_traces_rand_elements[i].add_segment_elements(rand_elements)
+                aux_segments.append(trace.build_aux_segment(seg_idx, rand_elements))
+            aux_polys, aux_ldes = interpolate_and_lde(
+                aux_segments, domain.domain_offset, domain.trace_to_lde_blowup
+            )
+            aux_tree = commit_to_comb_rows(aux_ldes, self.hasher, ext_deg)
+            channel.commit_trace(aux_tree.root())
+            aux_trees.append(aux_tree)
+            for i in range(n):
+                traces_polys[i]["aux"].append(aux_polys[i])
+                traces_ldes[i]["aux"].append(aux_ldes[i])
+
+        # Phase 2: constraint evaluation per AIR (lib.rs:386-410)
+        columns_divisors = []
+        for i, air in enumerate(airs):
+            constraint_coeffs = channel.get_constraint_composition_coeffs()
+            evaluator = ConstraintEvaluator(
+                air, aux_traces_rand_elements[i], constraint_coeffs, ext_deg
+            )
+            columns, divisors = evaluator.evaluate(
+                traces_ldes[i]["main"], traces_ldes[i]["aux"], domain
+            )
+            columns_divisors.append((columns, divisors))
+
+        # Phase 3: composition & commitment (lib.rs:422-475)
+        comb_polys = []
+        for columns, divisors in columns_divisors:
+            acc = apply_divisors(columns, divisors, domain)
+            coeffs = ntt.interpolate_poly_with_offset(acc, domain.domain_offset)
+            comb_polys.append(coeffs)
+        final_coeff = channel.get_final_polynomial_coeffs()
+        final_comb = comb_polys[0]
+        ce = domain.ce_size
+        for i, cp in enumerate(comb_polys[1:], start=1):
+            k = vec.vbroadcast(
+                scalar_to_limbs(fs.fexp(final_coeff, i), ext_deg), (ce,)
+            )
+            final_comb = vec.vadd(final_comb, vec.vmul(cp, k))
+
+        num_cols = airs[0].context.num_constraint_composition_columns()
+        trace_length = domain.trace_length
+        # chunk coefficients into num_cols columns of trace_length
+        # (composition_poly.rs:86-98)
+        comp_columns = tuple(
+            (
+                c[0].reshape(ce // trace_length, trace_length)[:num_cols],
+                c[1].reshape(ce // trace_length, trace_length)[:num_cols],
+            )
+            for c in vec.promote(final_comb, ext_deg)
+        )
+        comp_lde = ntt.evaluate_poly_with_offset(
+            comp_columns, domain.domain_offset, domain.lde_size // trace_length
+        )
+        constraint_tree = commit_to_rows(comp_lde, self.hasher, ext_deg)
+        channel.commit_constraints(constraint_tree.root())
+
+        # Phase 4: OOD evaluation + DEEP (lib.rs:476-535)
+        z = channel.get_ood_point()
+        g_trace = fs.get_root_of_unity(trace_length.bit_length() - 1)
+        zg = fs.fmul(z, g_trace)
+        ood_traces_states = []
+        for tp in traces_polys:
+            at_z = evaluate_trace_polys_at(tp, z, ext_deg)
+            at_zg = evaluate_trace_polys_at(tp, zg, ext_deg)
+            ood_traces_states.append([at_z, at_zg])
+        channel.send_ood_trace_states(ood_traces_states)
+
+        ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg)
+        channel.send_ood_constraint_evaluations(ood_evaluations)
+
+        deep_coefficients = channel.get_deep_composition_coeffs()
+        deep = DeepCompositionPoly(z, deep_coefficients, ext_deg)
+        deep.add_trace_polys(traces_polys, ood_traces_states)
+        deep.add_composition_poly(comp_columns, ood_evaluations)
+        assert deep.degree() == trace_length - 2
+
+        # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
+        deep_evaluations = ntt.evaluate_poly_with_offset(
+            deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
+        )
+        fri_prover = FriProver(options.to_fri_options(), self.hasher, ext_deg)
+        fri_prover.build_layers(channel, deep_evaluations)
+
+        # Phase 7: PoW + query positions (lib.rs:574-577)
+        channel.grind_query_seed()
+        query_positions = channel.get_query_positions()
+
+        # Phase 8: proof assembly (lib.rs:585-603)
+        fri_proof = fri_prover.build_proof(query_positions)
+        trace_queries = [
+            build_segment_queries(main_ldes, main_tree, query_positions, 1)
+        ]
+        for seg_idx, aux_tree in enumerate(aux_trees):
+            aux_ldes_i = [traces_ldes[i]["aux"][seg_idx] for i in range(n)]
+            trace_queries.append(
+                build_segment_queries(aux_ldes_i, aux_tree, query_positions, ext_deg)
+            )
+        constraint_queries = build_constraint_queries(
+            comp_lde, constraint_tree, query_positions, ext_deg
+        )
+        return channel.build_proof(trace_queries, constraint_queries, fri_proof)
+
+
+def evaluate_columns_at(columns, z, ext_deg: int):
+    """Evaluate per-column polynomials (component tuple (w, n)) at an element
+    z — vectorized dot with the power series of z (col_matrix.rs:249)."""
+    w, n = columns[0][0].shape
+    powz = vec.power_series_elem(scalar_to_limbs(z, ext_deg), n)
+    prod = vec.vmul(powz, columns)  # broadcast (n,) x (w, n)
+    sums = vec.vsum(prod, axis=-1)
+    return limbs_to_elems(sums, len(sums))
+
+
+def evaluate_trace_polys_at(trace_polys, z, ext_deg: int):
+    """TracePolyTable::evaluate_at (poly_table.rs:47-53): main then aux."""
+    result = evaluate_columns_at(trace_polys["main"], z, ext_deg)
+    for aux in trace_polys["aux"]:
+        result.extend(evaluate_columns_at(aux, z, ext_deg))
+    return result

@@ -1,0 +1,2 @@
+from .channel import VerifierChannel, VerifierError
+from .verifier import verify

@@ -1,0 +1,287 @@
+"""Proof verification — equivalent of verifier/src/lib.rs + composer.rs +
+evaluator.rs.  Mirrors the prover transcript step for step (SURVEY.md §3.2)."""
+
+from __future__ import annotations
+
+from ..air.air import AuxTraceRandElements
+from ..crypto.random_coin import RandomCoin
+from ..fri.verifier import FriVerificationError, FriVerifier
+from ..math import polynom, scalar as fs
+from .channel import VerifierChannel, VerifierError
+
+
+def verify(air_class, proof, pub_inputs_vec, hasher):
+    """winterfell::verify (verifier/src/lib.rs:83) — one aggregated proof,
+    a vector of public inputs."""
+    ext_deg = proof.contexts[0].options.field_extension
+
+    airs = []
+    for i, pub_inputs in enumerate(pub_inputs_vec):
+        trace_info = proof.contexts[i].get_trace_info()
+        airs.append(air_class(trace_info, pub_inputs, proof.contexts[i].options))
+
+    # seed = context[0] elements ++ all public input elements (lib.rs:95-98)
+    seed_elements = list(proof.contexts[0].to_elements())
+    for pub_inputs in pub_inputs_vec:
+        seed_elements.extend(pub_inputs.to_elements())
+    public_coin = RandomCoin(hasher, seed_elements)
+
+    channel = VerifierChannel(airs, proof, hasher, ext_deg)
+    return _perform_verification(airs, channel, public_coin, hasher, ext_deg)
+
+
+def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
+    trace_commitments = channel.read_trace_commitments()
+
+    # 1. trace commitment + aux rand elements (lib.rs:162-178)
+    public_coin.reseed(trace_commitments[0])
+    aux_traces_rand_elements = []
+    for air in airs:
+        aux_rand = AuxTraceRandElements()
+        for i, commitment in enumerate(trace_commitments[1:]):
+            rand_elements = air.get_aux_trace_segment_random_elements(
+                i, public_coin, ext_deg
+            )
+            aux_rand.add_segment_elements(rand_elements)
+            public_coin.reseed(commitment)
+        aux_traces_rand_elements.append(aux_rand)
+
+    constraints_coeffs = [
+        air.get_constraint_composition_coefficients(public_coin, ext_deg)
+        for air in airs
+    ]
+    # final_coeff drawn BEFORE reseeding the constraint commitment (lib.rs:193)
+    final_coeff = public_coin.draw(ext_deg)
+    constraint_commitment = channel.read_constraint_commitment()
+    public_coin.reseed(constraint_commitment)
+    z = public_coin.draw(ext_deg)
+
+    # 2. OOD consistency (lib.rs:210-257)
+    ood_traces_frame = channel.read_ood_traces_frame()
+    ood_main_frames = [f.main_frame() for f in ood_traces_frame]
+    ood_aux_frames = [f.aux_frame() for f in ood_traces_frame]
+    ood_constraint_evaluation = fs.zero(ext_deg) if ext_deg > 1 else 0
+    for i, frame in enumerate(ood_traces_frame):
+        ev = _evaluate_constraints(
+            airs[i],
+            constraints_coeffs[i],
+            ood_main_frames[i],
+            ood_aux_frames[i],
+            aux_traces_rand_elements[i],
+            z,
+            ext_deg,
+        )
+        public_coin.reseed(hasher.hash_elements(frame.values()))
+        ood_constraint_evaluation = fs.fadd(
+            ood_constraint_evaluation, fs.fmul(ev, fs.fexp(final_coeff, i))
+        )
+
+    ood_constraint_evaluations = channel.read_ood_constraint_evaluations()
+    ood2 = fs.zero(ext_deg) if ext_deg > 1 else 0
+    for i, value in enumerate(ood_constraint_evaluations):
+        ood2 = fs.fadd(
+            ood2, fs.fmul(fs.fexp(z, i * airs[0].trace_length()), value)
+        )
+    public_coin.reseed(hasher.hash_elements(ood_constraint_evaluations))
+
+    if ood_constraint_evaluation != ood2:
+        raise VerifierError("inconsistent OOD constraint evaluations")
+
+    # 3. DEEP coefficients + FRI verifier setup (lib.rs:263-278)
+    deep_coefficients = airs[0].get_deep_composition_coefficients(
+        airs, public_coin, ext_deg
+    )
+    fri_verifier = FriVerifier(
+        channel,
+        public_coin,
+        airs[0].options().to_fri_options(),
+        airs[0].trace_poly_degree(),
+        ext_deg,
+    )
+
+    # 4. PoW + query positions (lib.rs:283-303)
+    pow_nonce = channel.read_pow_nonce()
+    public_coin.reseed_with_int(pow_nonce)
+    if public_coin.leading_zeros() < airs[0].options().grinding_factor:
+        raise VerifierError("query seed proof-of-work verification failed")
+    query_positions = public_coin.draw_integers(
+        airs[0].options().num_queries, airs[0].lde_domain_size()
+    )
+
+    queried_main_vec, queried_aux = channel.read_queried_trace_states(query_positions)
+    queried_constraints = channel.read_constraint_evaluations(query_positions)
+
+    # 5. DEEP composition at the query points (composer.rs)
+    composer = DeepComposer(airs[0], query_positions, z, deep_coefficients, ext_deg)
+    t_composition = composer.compose_trace_columns(
+        queried_main_vec, queried_aux, ood_main_frames, ood_aux_frames
+    )
+    c_composition = composer.compose_constraint_evaluations(
+        queried_constraints, ood_constraint_evaluations
+    )
+    deep_evaluations = [
+        fs.fadd(t, c) for t, c in zip(t_composition, c_composition)
+    ]
+
+    # 6. FRI verification
+    try:
+        fri_verifier.verify(channel, deep_evaluations, query_positions)
+    except FriVerificationError as e:
+        raise VerifierError(f"FRI verification failed: {e}")
+    return True
+
+
+def _evaluate_constraints(air, coeffs, main_frame, aux_frame, aux_rand_elements, x,
+                          ext_deg):
+    """verifier/src/evaluator.rs:14-82 — symbolic evaluation at z."""
+    t_constraints = air.get_transition_constraints(coeffs.transition)
+
+    periodic_values = []
+    for poly in air.get_periodic_column_polys():
+        num_cycles = air.trace_length() // len(poly)
+        xp = fs.fexp(x, num_cycles)
+        periodic_values.append(polynom.eval_at(poly, xp))
+
+    t1 = [None] * t_constraints.num_main_constraints()
+    _scalar_evaluate(air, main_frame, periodic_values, t1)
+
+    t2 = []
+    if aux_frame is not None:
+        t2 = [None] * t_constraints.num_aux_constraints()
+        air.evaluate_aux_transition(
+            _ScalarFrame(main_frame), _ScalarFrame(aux_frame),
+            [_felt(v) for v in periodic_values], aux_rand_elements, t2,
+        )
+        t2 = [_unfelt(v) for v in t2]
+
+    result = t_constraints.combine_evaluations(t1, t2, x)
+
+    b_constraints = air.get_boundary_constraints(aux_rand_elements, coeffs.boundary)
+    for group in b_constraints.main_constraints:
+        result = fs.fadd(result, group.evaluate_at(main_frame.current(), x))
+    if aux_frame is not None:
+        for group in b_constraints.aux_constraints:
+            result = fs.fadd(result, group.evaluate_at(aux_frame.current(), x))
+    return result
+
+
+def _scalar_evaluate(air, frame, periodic_values, result):
+    """Run the user's vectorized evaluate_transition on scalar values by
+    wrapping them in shape-(1,) Felts."""
+    air.evaluate_transition(_ScalarFrame(frame), [_felt(v) for v in periodic_values],
+                            result)
+    for i, v in enumerate(result):
+        result[i] = _unfelt(v)
+
+
+class _ScalarFrame:
+    def __init__(self, frame):
+        self._current = [_felt(v) for v in frame.current()]
+        self._next = [_felt(v) for v in frame.next()]
+
+    def current(self):
+        return self._current
+
+    def next(self):
+        return self._next
+
+
+def _felt(v):
+    from ..ops.felt import Felt
+
+    deg = 1 if isinstance(v, int) else len(v)
+    return Felt.from_u64s(
+        __import__("numpy").array(
+            [fs.components(fs.embed(v, deg))[c] for c in range(deg)],
+            dtype="uint64",
+        ).reshape(1, deg) if deg > 1 else
+        __import__("numpy").array([v], dtype="uint64"),
+        deg,
+    )
+
+
+def _unfelt(f):
+    if isinstance(f, (int, tuple)):
+        return f
+    arr = f.to_u64s()
+    if f.deg == 1:
+        return int(arr.reshape(-1)[0])
+    flat = arr.reshape(-1, f.deg)[0]
+    return tuple(int(x) for x in flat)
+
+
+class DeepComposer:
+    """verifier/src/composer.rs:55-217."""
+
+    def __init__(self, air, query_positions, z, cc, ext_deg):
+        g_lde = air.lde_domain_generator()
+        offset = air.domain_offset()
+        self.x_coordinates = [
+            pow(g_lde, p, fs.P) * offset % fs.P for p in query_positions
+        ]
+        self.cc = cc
+        self.z = [z, fs.fmul(z, air.trace_domain_generator())]
+        self.ext_deg = ext_deg
+
+    def compose_trace_columns(self, queried_main_vec, queried_aux_vec,
+                              ood_main_frames, ood_aux_frames):
+        n = len(self.x_coordinates)
+        results_num = []
+        result_den = None
+        for index, table in enumerate(queried_main_vec):
+            num = []
+            den = []
+            ood_states = [
+                ood_main_frames[index].current(),
+                ood_main_frames[index].next(),
+            ]
+            for row, x in zip(table.rows(), self.x_coordinates):
+                t1_num = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
+                t2_num = t1_num
+                for i, value in enumerate(row):
+                    k = self.cc.traces[index][i]
+                    t1_num = fs.fadd(t1_num, fs.fmul(fs.fsub(value, ood_states[0][i]), k))
+                    t2_num = fs.fadd(t2_num, fs.fmul(fs.fsub(value, ood_states[1][i]), k))
+                t1_den = fs.fsub(x, self.z[0])
+                t2_den = fs.fsub(x, self.z[1])
+                den.append(fs.fmul(t1_den, t2_den))
+                num.append(fs.fadd(fs.fmul(t1_num, t2_den), fs.fmul(t2_num, t1_den)))
+            if queried_aux_vec is not None:
+                ood_aux = ood_aux_frames[index]
+                aux_states = [ood_aux.current(), ood_aux.next()]
+                cc_offset = table.num_columns()
+                aux_table = queried_aux_vec[index]
+                for j, (row, x) in enumerate(zip(aux_table.rows(), self.x_coordinates)):
+                    t1_num = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
+                    t2_num = t1_num
+                    for i, value in enumerate(row):
+                        k = self.cc.traces[index][cc_offset + i]
+                        t1_num = fs.fadd(t1_num, fs.fmul(fs.fsub(value, aux_states[0][i]), k))
+                        t2_num = fs.fadd(t2_num, fs.fmul(fs.fsub(value, aux_states[1][i]), k))
+                    t1_den = fs.fsub(x, self.z[0])
+                    t2_den = fs.fsub(x, self.z[1])
+                    num[j] = fs.fadd(
+                        num[j],
+                        fs.fadd(fs.fmul(t1_num, t2_den), fs.fmul(t2_num, t1_den)),
+                    )
+            results_num.append(num)
+            if result_den is None:
+                result_den = den
+        final_num = results_num[0]
+        for other in results_num[1:]:
+            final_num = [fs.fadd(a, b) for a, b in zip(final_num, other)]
+        return [fs.fdiv(a, d) for a, d in zip(final_num, result_den)]
+
+    def compose_constraint_evaluations(self, queried_evaluations, ood_evaluations):
+        num = []
+        den = []
+        z = self.z[0]
+        for row, x in zip(queried_evaluations.rows(), self.x_coordinates):
+            acc = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
+            for i, evaluation in enumerate(row):
+                acc = fs.fadd(
+                    acc, fs.fmul(fs.fsub(evaluation, ood_evaluations[i]), self.cc.constraints[i])
+                )
+            num.append(acc)
+            den.append(fs.fsub(x, z))
+        return [fs.fdiv(a, d) for a, d in zip(num, den)]
