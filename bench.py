@@ -1,0 +1,64 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Measures the core proving kernel on the attached accelerator: batched
+Goldilocks NTT (the dominant cost of trace LDE — SURVEY.md §3.1 hot loops),
+reported as butterflies/s/chip.
+
+vs_baseline compares against upstream Winterfell's single-core Rust f64 FFT
+throughput (~1e8 butterflies/s on a modern x86 core, i.e. ~10ns per radix-2
+butterfly — derived from the README's Rescue-chain timings at
+/root/reference/README.md:335-403 where FFT work dominates proving).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_BUTTERFLIES_PER_S = 1.0e8
+
+
+def main():
+    import jax
+
+    from starkpack_winterfell_tpu.ops import gl64 as gl, ntt
+
+    log_n = 18
+    n = 1 << log_n
+    batch = 8
+
+    rng = np.random.default_rng(0)
+    cols = rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64)
+    pair = gl.from_u64(cols)
+
+    fn = jax.jit(lambda c: ntt.ntt_components((c,))[0])
+
+    # warm up / compile
+    out = fn(pair)
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(pair)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+
+    per_transform = (n // 2) * log_n
+    total_butterflies = per_transform * batch * iters
+    value = total_butterflies / (t1 - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "ntt_butterflies_per_s_per_chip",
+                "value": value,
+                "unit": "butterflies/s",
+                "vs_baseline": value / BASELINE_BUTTERFLIES_PER_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

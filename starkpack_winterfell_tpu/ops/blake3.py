@@ -70,6 +70,24 @@ def compress(cv, block_words, counter: int, block_len: int, flags: int, xp=np):
     return _compress_impl(cv, block_words, counter, block_len, flags, xp)
 
 
+# PERM_TABLE[r][i] = index in the ORIGINAL message of word i at round r
+_PERM_TABLE = np.zeros((7, 16), dtype=np.int32)
+_PERM_TABLE[0] = np.arange(16)
+for _r in range(1, 7):
+    _PERM_TABLE[_r] = _PERM_TABLE[_r - 1][list(MSG_PERMUTATION)]
+
+
+def _round(state, m, xp):
+    _g(state, 0, 4, 8, 12, m[0], m[1], xp)
+    _g(state, 1, 5, 9, 13, m[2], m[3], xp)
+    _g(state, 2, 6, 10, 14, m[4], m[5], xp)
+    _g(state, 3, 7, 11, 15, m[6], m[7], xp)
+    _g(state, 0, 5, 10, 15, m[8], m[9], xp)
+    _g(state, 1, 6, 11, 12, m[10], m[11], xp)
+    _g(state, 2, 7, 8, 13, m[12], m[13], xp)
+    _g(state, 3, 4, 9, 14, m[14], m[15], xp)
+
+
 def _compress_impl(cv, block_words, counter: int, block_len: int, flags: int, xp):
     z = xp.zeros_like(cv[0])
     state = [
@@ -80,17 +98,28 @@ def _compress_impl(cv, block_words, counter: int, block_len: int, flags: int, xp
         z + _U32(block_len), z + _U32(flags),
     ]
     m = [bw + z for bw in block_words]
-    for rnd in range(7):
-        _g(state, 0, 4, 8, 12, m[0], m[1], xp)
-        _g(state, 1, 5, 9, 13, m[2], m[3], xp)
-        _g(state, 2, 6, 10, 14, m[4], m[5], xp)
-        _g(state, 3, 7, 11, 15, m[6], m[7], xp)
-        _g(state, 0, 5, 10, 15, m[8], m[9], xp)
-        _g(state, 1, 6, 11, 12, m[10], m[11], xp)
-        _g(state, 2, 7, 8, 13, m[12], m[13], xp)
-        _g(state, 3, 4, 9, 14, m[14], m[15], xp)
-        if rnd < 6:
-            m = [m[MSG_PERMUTATION[i]] for i in range(16)]
+    if xp is np:
+        for rnd in range(7):
+            _round(state, m, xp)
+            if rnd < 6:
+                m = [m[MSG_PERMUTATION[i]] for i in range(16)]
+    else:
+        # jax: roll the 7 rounds into a fori_loop with a gathered per-round
+        # message permutation — ~7x smaller trace/compile graph
+        import jax
+        import jax.numpy as jnp
+
+        m_stack = xp.stack(m, axis=0)  # (16, ...)
+        perm = jnp.asarray(_PERM_TABLE)
+
+        def body(r, st):
+            st = list(st)
+            mr = jnp.take(m_stack, perm[r], axis=0)
+            ml = [mr[i] for i in range(16)]
+            _round(st, ml, xp)
+            return tuple(st)
+
+        state = list(jax.lax.fori_loop(0, 7, body, tuple(state)))
     return [state[i] ^ state[i + 8] for i in range(8)]
 
 

@@ -1,16 +1,24 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+"""Test configuration: force an 8-device virtual CPU mesh before any backend
+is initialized.
 
 Tests exercise the multi-chip sharding path on a virtual CPU mesh
 (xla_force_host_platform_device_count=8) so they run anywhere; the real-TPU
 path is exercised by bench.py and the driver's compile checks.
+
+Note: this environment registers a remote-TPU PJRT plugin via sitecustomize
+and pins JAX_PLATFORMS=axon; `jax.config.update` after import is the reliable
+way to select the built-in CPU backend for tests.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
