@@ -1,0 +1,157 @@
+"""Rescue-Prime hash-chain / VDF AIR over f64.
+
+Re-creation of the upstream Winterfell `rescue` example family (removed from
+the fork — SURVEY.md §2.8) rebuilt around this framework's Rp64_256: the
+trace iterates the Rescue-XLIX permutation, one round per row, in cycles of
+8 rows (7 rounds + 1 copy row).  Periodic columns carry the round constants
+and the round/copy mask; transition constraints use the classic half-forward
+/ half-backward formulation so the degree stays at 7:
+
+  round rows:  MDS(cur^7) + ARK1[r]  ==  (INV_MDS(next - ARK2[r]))^7
+  copy rows:   next == cur
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..air import Air, AirContext, Assertion, TransitionConstraintDegree
+from ..crypto.rescue import (
+    ARK1,
+    ARK2,
+    INV_MDS,
+    MDS,
+    NUM_ROUNDS,
+    STATE_WIDTH,
+    apply_permutation_ints,
+)
+from ..crypto import rescue as _rescue
+from ..math import scalar as fs
+from ..prover.pipeline import Prover
+from ..prover.trace import TraceTable
+
+CYCLE_LENGTH = 8  # 7 rounds + 1 copy row
+
+
+class ChainInputs:
+    def __init__(self, seed, result):
+        """seed: 8 rate elements; result: 4 digest elements."""
+        self.seed = list(seed)
+        self.result = list(result)
+
+    def to_elements(self):
+        return self.seed + self.result
+
+
+class RescueChainAir(Air):
+    def __init__(self, trace_info, pub_inputs, options):
+        degrees = [
+            TransitionConstraintDegree.with_cycles(7, [CYCLE_LENGTH])
+            for _ in range(STATE_WIDTH)
+        ]
+        self.context = AirContext(trace_info, degrees, 16, options)
+        self.seed = pub_inputs.seed
+        self.result = pub_inputs.result
+
+    def evaluate_transition(self, frame, periodic_values, result):
+        cur = frame.current()
+        nxt = frame.next()
+        flag = periodic_values[0]
+        ark1 = periodic_values[1 : 1 + STATE_WIDTH]
+        ark2 = periodic_values[1 + STATE_WIDTH : 1 + 2 * STATE_WIDTH]
+
+        # forward half: MDS(cur^7) + ark1
+        cur7 = [c**7 for c in cur]
+        fwd = []
+        for i in range(STATE_WIDTH):
+            acc = None
+            for j in range(STATE_WIDTH):
+                term = cur7[j] * MDS[i][j]
+                acc = term if acc is None else acc + term
+            fwd.append(acc + ark1[i])
+
+        # backward half: (INV_MDS(next - ark2))^7
+        diff = [nxt[i] - ark2[i] for i in range(STATE_WIDTH)]
+        bwd = []
+        for i in range(STATE_WIDTH):
+            acc = None
+            for j in range(STATE_WIDTH):
+                term = diff[j] * INV_MDS[i][j]
+                acc = term if acc is None else acc + term
+            bwd.append(acc**7)
+
+        one = 1
+        for i in range(STATE_WIDTH):
+            round_c = fwd[i] - bwd[i]
+            copy_c = nxt[i] - cur[i]
+            result[i] = flag * round_c + (one - flag) * copy_c
+
+    def get_assertions(self):
+        last = self.trace_length() - 1
+        assertions = []
+        for i in range(4):
+            assertions.append(Assertion.single(i, 0, 0))  # capacity zeros
+        for i, v in enumerate(self.seed):
+            assertions.append(Assertion.single(4 + i, 0, v))
+        for i, v in enumerate(self.result):
+            assertions.append(Assertion.single(4 + i, last, v))
+        return assertions
+
+    def get_periodic_column_values(self):
+        flag = [1] * NUM_ROUNDS + [0] * (CYCLE_LENGTH - NUM_ROUNDS)
+        cols = [flag]
+        for i in range(STATE_WIDTH):
+            cols.append([ARK1[r][i] for r in range(NUM_ROUNDS)] + [0])
+        for i in range(STATE_WIDTH):
+            cols.append([ARK2[r][i] for r in range(NUM_ROUNDS)] + [0])
+        return cols
+
+
+def build_chain_trace(seed, num_permutations: int) -> TraceTable:
+    """Trace rows: row 8c+k = state after k rounds of permutation c; row
+    8c+7 holds the permutation output, copied into row 8(c+1)."""
+    length = CYCLE_LENGTH * num_permutations
+    cols = np.zeros((STATE_WIDTH, length), dtype=np.uint64)
+    state = [0, 0, 0, 0] + [s % fs.P for s in seed]
+    for c in range(num_permutations):
+        base = c * CYCLE_LENGTH
+        cols[:, base] = state
+        for r in range(NUM_ROUNDS):
+            state = _round_ints(state, r)
+            cols[:, base + r + 1] = state
+        # rows base+7 is the output; the copy constraint carries it to the
+        # next cycle's row 0 (or it is the final row)
+    return TraceTable.from_u64_columns(cols)
+
+
+def _round_ints(state, r):
+    state = [pow(x, 7, fs.P) for x in state]
+    state = [
+        sum(MDS[i][j] * state[j] for j in range(STATE_WIDTH)) % fs.P
+        for i in range(STATE_WIDTH)
+    ]
+    state = [(x + c) % fs.P for x, c in zip(state, ARK1[r])]
+    state = [pow(x, _rescue.INV_ALPHA, fs.P) for x in state]
+    state = [
+        sum(MDS[i][j] * state[j] for j in range(STATE_WIDTH)) % fs.P
+        for i in range(STATE_WIDTH)
+    ]
+    state = [(x + c) % fs.P for x, c in zip(state, ARK2[r])]
+    return state
+
+
+class RescueChainProver(Prover):
+    air_class = RescueChainAir
+
+    def __init__(self, options, hasher):
+        self._options = options
+        self.hasher = hasher
+
+    def get_pub_inputs(self, trace: TraceTable) -> ChainInputs:
+        last = trace.length - 1
+        seed = [trace.get(4 + i, 0) for i in range(8)]
+        result = [trace.get(4 + i, last) for i in range(4)]
+        return ChainInputs(seed, result)
+
+    def options(self):
+        return self._options

@@ -235,11 +235,18 @@ def mul_small(a, k: int):
 
 
 def exp_int(a, e: int):
-    """Exponentiation by a static python-int exponent (unrolled at trace time)."""
+    """Exponentiation by a static python-int exponent.
+
+    Host path unrolls square-and-multiply; under jax, large exponents roll
+    into a fori_loop (MSB-first, constant bit table) to keep the XLA graph
+    small — unrolled 64-bit chains make XLA:CPU compilation pathological.
+    """
     xp = _xp(a[0])
     e = int(e)
     if e == 0:
         return ones(a[0].shape, xp)
+    if xp is not np and e.bit_length() > 8:
+        return _exp_loop_jax(a, e)
     result = None
     base = a
     while e:
@@ -249,6 +256,28 @@ def exp_int(a, e: int):
         if e:
             base = square(base)
     return result
+
+
+def _exp_loop_jax(a, e: int):
+    import jax
+    import jax.numpy as jnp
+
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32)
+    )
+    one = ones(a[0].shape, _xp(a[0]))
+
+    def body(i, r):
+        r = square(r)
+        m = mul(r, a)
+        cond = bits[i] == 1
+        return (
+            jnp.where(cond, m[0], r[0]),
+            jnp.where(cond, m[1], r[1]),
+        )
+
+    return jax.lax.fori_loop(0, nbits, body, one)
 
 
 def exp7(a):
