@@ -72,3 +72,47 @@ def test_rescue_chain_wrong_digest_fails():
     pub_inputs[0].result[0] = (pub_inputs[0].result[0] + 1) % (2**64 - 2**32 + 1)
     with pytest.raises(VerifierError):
         verify(RescueChainAir, proof, pub_inputs, Blake3_256)
+
+
+def test_randomized_air_aux_segment():
+    """Grand-product permutation check with an auxiliary trace segment.
+
+    Note: the reference's aux-segment transcript only agrees between prover
+    and verifier for n=1 (the verifier reseeds the aux commitment per
+    instance, the prover once per segment — verifier/src/lib.rs:162-178 vs
+    prover/src/lib.rs:296-352), so batched aux proofs are out of contract.
+    """
+    from starkpack_winterfell_tpu.models.permutation import (
+        PermAir,
+        PermProver,
+        build_perm_trace,
+    )
+
+    for ext in (FieldExtension.NONE, FieldExtension.QUADRATIC):
+        options = ProofOptions(16, 8, 0, ext, 4, 31)
+        traces = [build_perm_trace(3, 64)]
+        prover = PermProver(options, Blake3_256)
+        pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+        proof = prover.prove(1, traces)
+        assert verify(PermAir, proof, pub_inputs, Blake3_256)
+
+
+def test_randomized_air_tampered_main_fails():
+    from starkpack_winterfell_tpu.models.permutation import (
+        PermAir,
+        PermProver,
+        build_perm_trace,
+    )
+
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 31)
+    trace = build_perm_trace(3, 64)
+    # break the permutation property in the middle of the trace
+    trace.set(1, 10, (trace.get(1, 10) + 1))
+    prover = PermProver(options, Blake3_256)
+    pub_inputs = [prover.get_pub_inputs(trace)]
+    try:
+        proof = prover.prove(1, [trace])
+    except AssertionError:
+        return  # prover-side degree assert caught the bad trace — fine
+    with pytest.raises(VerifierError):
+        verify(PermAir, proof, pub_inputs, Blake3_256)
