@@ -422,14 +422,13 @@ class StarkProof:
         """Conjectured security estimate (proof/mod.rs:202-225)."""
         options = self.contexts[0].options
         base_field_bits = self.contexts[0].num_modulus_bits()
-        field_ext = options.field_extension
+        field_size = base_field_bits * options.field_extension
         trace_length = self.trace_length(0)
-        field_security = base_field_bits * field_ext - (trace_length * options.blowup_factor).bit_length()
-        options_security = options.num_queries * (
-            options.blowup_factor.bit_length() - 1
-        )
-        return max(min(field_security, options_security + options.grinding_factor,
-                       hash_collision_resistance), 0)
+        field_security = field_size - (trace_length.bit_length() - 1)
+        query_security = options.num_queries * (options.blowup_factor.bit_length() - 1)
+        if query_security >= 80:  # GRINDING_CONTRIBUTION_FLOOR (proof/mod.rs:35)
+            query_security += options.grinding_factor
+        return min(min(field_security, query_security) - 1, hash_collision_resistance)
 
     def __eq__(self, other):
         return isinstance(other, StarkProof) and self.to_bytes() == other.to_bytes()

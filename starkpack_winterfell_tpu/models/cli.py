@@ -1,0 +1,93 @@
+"""Example runner CLI — equivalent of the reference examples crate
+(examples/src/{lib,main}.rs): prove + serialize + round-trip + verify with
+timing and proof-size reporting.
+
+Usage:
+  python -m starkpack_winterfell_tpu.models.cli do-work -n 32 -l 1024
+  python -m starkpack_winterfell_tpu.models.cli fib -n 4 -l 65536
+  python -m starkpack_winterfell_tpu.models.cli rescue-chain -n 2 -l 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from ..air.options import FieldExtension, ProofOptions
+from ..crypto.hashers import HASHERS, get_hasher
+from ..verifier import verify
+
+
+def get_example(name: str):
+    if name == "do-work":
+        from .do_work import DoWorkAir, DoWorkProver, build_do_work_trace
+
+        return DoWorkAir, DoWorkProver, lambda i, l: build_do_work_trace(i, l)
+    if name == "fib":
+        from .fibonacci import FibAir, FibProver, build_fib_trace
+
+        return FibAir, FibProver, lambda i, l: build_fib_trace(l)
+    if name == "rescue-chain":
+        from .rescue_chain import CYCLE_LENGTH, RescueChainAir, RescueChainProver, build_chain_trace
+
+        return (
+            RescueChainAir,
+            RescueChainProver,
+            lambda i, l: build_chain_trace([i + 1] * 8, l // CYCLE_LENGTH),
+        )
+    if name == "perm":
+        from .permutation import PermAir, PermProver, build_perm_trace
+
+        return PermAir, PermProver, lambda i, l: build_perm_trace(i + 3, l)
+    raise SystemExit(f"unknown example {name}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("example", choices=["do-work", "fib", "rescue-chain", "perm"])
+    p.add_argument("-n", "--num-traces", type=int, default=2)
+    p.add_argument("-l", "--trace-length", type=int, default=1024)
+    p.add_argument("-q", "--queries", type=int, default=32)
+    p.add_argument("-b", "--blowup", type=int, default=8)
+    p.add_argument("-g", "--grinding", type=int, default=0)
+    p.add_argument("-e", "--extension", type=int, default=1, choices=[1, 2, 3])
+    p.add_argument("-f", "--folding", type=int, default=8)
+    p.add_argument("-r", "--remainder", type=int, default=31)
+    p.add_argument("--hash", default="blake3_256", choices=sorted(HASHERS))
+    args = p.parse_args(argv)
+
+    air_class, prover_class, build = get_example(args.example)
+    hasher = get_hasher(args.hash)
+    options = ProofOptions(
+        args.queries, args.blowup, args.grinding, args.extension, args.folding,
+        args.remainder,
+    )
+
+    t0 = time.perf_counter()
+    traces = [build(i, args.trace_length) for i in range(args.num_traces)]
+    t1 = time.perf_counter()
+    print(f"Built {args.num_traces} execution traces of {args.trace_length} steps "
+          f"in {(t1 - t0) * 1000:.0f} ms")
+
+    prover = prover_class(options, hasher)
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    t2 = time.perf_counter()
+    proof = prover.prove(args.num_traces, traces)
+    t3 = time.perf_counter()
+    print(f"Generated the aggregated proof in {(t3 - t2) * 1000:.0f} ms")
+
+    proof_bytes = proof.to_bytes()
+    print(f"Proof size: {len(proof_bytes) / 1024:.1f} KB")
+    print(f"Conjectured security: {proof.security_level_conjectured()} bits")
+
+    parsed = proof.from_bytes(proof_bytes)
+    assert parsed.to_bytes() == proof_bytes, "serialization round trip failed"
+
+    t4 = time.perf_counter()
+    verify(air_class, parsed, pub_inputs, hasher)
+    t5 = time.perf_counter()
+    print(f"Proof verified in {(t5 - t4) * 1000:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
