@@ -115,6 +115,15 @@ def apply_drp(transposed, domain_offset: int, alpha, ext_deg: int):
     c * w^i (w = root of the source domain); interpolation + evaluation at
     alpha collapses to Horner at (c * w^i)^{-1} * alpha over the row's iNTT.
     """
+    xp = gl._xp(transposed[0][0])
+    alpha_l = scalar_to_limbs(alpha, ext_deg)
+    alpha_l = tuple((xp.asarray(a[0]), xp.asarray(a[1])) for a in alpha_l)
+    return apply_drp_limbs(transposed, domain_offset, alpha_l, ext_deg)
+
+
+def apply_drp_limbs(transposed, domain_offset: int, alpha_l, ext_deg: int):
+    """Core DRP with alpha already in limb form (jit-friendly: alpha may be a
+    traced value)."""
     m, N = transposed[0][0].shape
     xp = gl._xp(transposed[0][0])
     coeffs = ntt.interpolate_poly(transposed)  # per-row iNTT incl. 1/N scale
@@ -128,8 +137,6 @@ def apply_drp(transposed, domain_offset: int, alpha, ext_deg: int):
     inv_c_pair = (xp.asarray(inv_c_pair[0]), xp.asarray(inv_c_pair[1]))
     inv_offs = gl.mul(inv_offs, inv_c_pair)  # (m,)
     # x_i = inv_offs[i] * alpha  (ext scalar)
-    alpha_l = scalar_to_limbs(alpha, ext_deg)
-    alpha_l = tuple((xp.asarray(a[0]), xp.asarray(a[1])) for a in alpha_l)
     x = vec.vmul(vec.vbroadcast(alpha_l, (m,)), (inv_offs,))
     return vec.horner(coeffs, x, axis=-1)
 

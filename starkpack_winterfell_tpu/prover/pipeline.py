@@ -47,7 +47,13 @@ class Prover:
     def options(self):
         raise NotImplementedError
 
-    def prove(self, n: int, traces):
+    def prove(self, n: int, traces, device: bool = False):
+        """device=True runs the jitted accelerator pipeline (prover/device.py);
+        both paths emit byte-identical proofs."""
+        if device:
+            from .device import DeviceProver
+
+            return DeviceProver.prove_device(self, n, traces)
         ext_deg = self.options().field_extension
         return self._generate_proof(n, traces, ext_deg)
 
