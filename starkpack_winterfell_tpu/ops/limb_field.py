@@ -1,0 +1,334 @@
+"""Generic N-limb prime fields on u32 arrays — f62 and f128.
+
+Equivalent of the reference's f62 (p = 2^62 - 111*2^39 + 1, Montgomery —
+math/src/field/f62/mod.rs) and f128 (p = 2^128 - 45*2^40 + 1, schoolbook —
+math/src/field/f128/mod.rs) fields, re-designed for TPU: an element is a
+tuple of n uint32 limb arrays (little-endian limbs), all ops are vectorized
+u32 add/mul/shift/compare, and — unlike the reference's f62 — the canonical
+representation is used throughout (the reference converts to canonical form
+at every protocol boundary anyway).
+
+Reduction: with E = 2^(32n) mod p small (both fields have sparse moduli),
+x = hi*2^(32n) + lo ≡ hi*E + lo; folds repeat until the value fits n limbs
+(fold count precomputed from bit lengths), then ≤ 2 conditional subtracts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U32 = np.uint32
+MASK16 = 0xFFFF
+
+
+def _xp(x):
+    if isinstance(x, np.ndarray) or isinstance(x, np.generic):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def _mul32(a, b):
+    """32x32 -> (lo, hi) u32 (same as gl64._mul32)."""
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    v1 = (p01 & MASK16) << 16
+    t = p00 + v1
+    c1 = (t < v1).astype(_U32)
+    v2 = (p10 & MASK16) << 16
+    t2 = t + v2
+    c2 = (t2 < v2).astype(_U32)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + c1 + c2
+    return t2, hi
+
+
+def _add_limbs(a, b, xp):
+    """Add limb lists (unequal lengths ok); returns n+1 limbs."""
+    n = max(len(a), len(b))
+    out = []
+    carry = None
+    for i in range(n):
+        x = a[i] if i < len(a) else None
+        y = b[i] if i < len(b) else None
+        if x is None:
+            x = xp.zeros_like(b[i])
+        if y is None:
+            y = xp.zeros_like(a[i])
+        s = x + y
+        c1 = (s < x).astype(_U32)
+        if carry is not None:
+            s2 = s + carry
+            c2 = (s2 < carry).astype(_U32)
+            s = s2
+            carry = c1 | c2
+        else:
+            carry = c1
+        out.append(s)
+    out.append(carry)
+    return out
+
+
+def _sub_limbs(a, b, xp):
+    """a - b (same length), returns (limbs, borrow_u32)."""
+    n = len(a)
+    out = []
+    borrow = None
+    for i in range(n):
+        x, y = a[i], b[i] if i < len(b) else xp.zeros_like(a[i])
+        d = x - y
+        b1 = (x < y).astype(_U32)
+        if borrow is not None:
+            d2 = d - borrow
+            b2 = (d < borrow).astype(_U32)
+            d = d2
+            borrow = b1 | b2
+        else:
+            borrow = b1
+        out.append(d)
+    return out, borrow
+
+
+def _mul_limbs(a, b, xp):
+    """Schoolbook product of limb lists -> len(a)+len(b) limbs."""
+    na, nb = len(a), len(b)
+    out = [xp.zeros_like(a[0]) for _ in range(na + nb)]
+    for i in range(na):
+        carry = xp.zeros_like(a[0])
+        for j in range(nb):
+            lo, hi = _mul32(a[i], b[j])
+            # out[i+j] += lo + carry; propagate into hi
+            s = out[i + j] + lo
+            c1 = (s < lo).astype(_U32)
+            s2 = s + carry
+            c2 = (s2 < carry).astype(_U32)
+            out[i + j] = s2
+            carry = hi + c1 + c2  # hi <= 2^32-2 so no overflow
+        # propagate final carry
+        k = i + nb
+        while True:
+            s = out[k] + carry
+            c = (s < carry).astype(_U32)
+            out[k] = s
+            carry = c
+            k += 1
+            if k >= len(out):
+                break
+            # cheap exit: constant-zero carries still traced; keep full loop
+        del carry
+    return out
+
+
+class LimbField:
+    def __init__(self, modulus: int, n_limbs: int, generator: int, two_adicity: int,
+                 two_adic_root: int, name: str):
+        self.P = modulus
+        self.n = n_limbs
+        self.GENERATOR = generator
+        self.TWO_ADICITY = two_adicity
+        self.TWO_ADIC_ROOT_OF_UNITY = two_adic_root
+        self.NAME = name
+        R = 1 << (32 * n_limbs)
+        self.E = R % modulus
+        self.E_limbs_int = _int_to_limbs(self.E, _nbits_limbs(self.E))
+        self.p_limbs_int = _int_to_limbs(modulus, n_limbs)
+
+    # -- conversions --------------------------------------------------------
+
+    def from_int(self, v: int, shape=()):
+        v = int(v) % self.P
+        return tuple(
+            np.full(shape, (v >> (32 * i)) & 0xFFFFFFFF, dtype=np.uint64).astype(_U32)
+            for i in range(self.n)
+        )
+
+    def from_ints(self, vals):
+        arr = [int(v) % self.P for v in vals]
+        return tuple(
+            np.array([(v >> (32 * i)) & 0xFFFFFFFF for v in arr], dtype=np.uint64).astype(_U32)
+            for i in range(self.n)
+        )
+
+    def to_ints(self, a):
+        limbs = [np.asarray(x, dtype=np.uint64) for x in a]
+        flat = [l.reshape(-1) for l in limbs]
+        out = []
+        for k in range(flat[0].shape[0]):
+            v = 0
+            for i in range(self.n):
+                v |= int(flat[i][k]) << (32 * i)
+            out.append(v)
+        return out
+
+    def zeros(self, shape, xp=np):
+        return tuple(xp.zeros(shape, dtype=_U32) for _ in range(self.n))
+
+    def ones(self, shape, xp=np):
+        return (np.ones(shape, dtype=_U32) if xp is np else xp.ones(shape, dtype=_U32),) + tuple(
+            xp.zeros(shape, dtype=_U32) for _ in range(self.n - 1)
+        )
+
+    # -- core ops ------------------------------------------------------------
+
+    def _p_limbs(self, xp, like):
+        return [xp.full_like(like, _U32(l)) for l in self.p_limbs_int]
+
+    def _canon(self, limbs, xp):
+        """One conditional subtract of p (inputs must be < 2p)."""
+        p = self._p_limbs(xp, limbs[0])
+        sub, borrow = _sub_limbs(limbs, p, xp)
+        ge = borrow == 0
+        return tuple(xp.where(ge, s, l) for s, l in zip(sub, limbs))
+
+    def add(self, a, b):
+        xp = _xp(a[0])
+        s = _add_limbs(list(a), list(b), xp)  # n+1 limbs, top is carry(0/1)
+        # a+b < 2p < 2^(32n+1); if carry, subtract p once from the extended value
+        ext = s[: self.n]
+        carry = s[self.n]
+        # value = ext + carry*2^(32n) ≡ ext + carry*E (mod p)
+        e = [xp.full_like(a[0], _U32(l)) for l in self.E_limbs_int]
+        ce = [x * carry for x in e]  # carry ∈ {0,1}
+        s2 = _add_limbs(ext, ce, xp)
+        # adding E (< p) to ext (< 2^(32n)): may carry again only if ext close
+        # to 2^(32n); fold once more then canonicalize twice
+        ext2 = s2[: self.n]
+        carry2 = s2[self.n]
+        ce2 = [x * carry2 for x in e]
+        s3 = _add_limbs(ext2, ce2, xp)
+        out = tuple(s3[: self.n])
+        out = self._canon(out, xp)
+        return self._canon(out, xp)
+
+    def sub(self, a, b):
+        xp = _xp(a[0])
+        d, borrow = _sub_limbs(list(a), list(b), xp)
+        # on borrow, add p back
+        p = self._p_limbs(xp, a[0])
+        pb = [x * borrow for x in p]
+        s = _add_limbs(d, pb, xp)
+        return tuple(s[: self.n])
+
+    def neg(self, a):
+        xp = _xp(a[0])
+        return self.sub(self.zeros(a[0].shape, xp), a)
+
+    def mul(self, a, b):
+        xp = _xp(a[0])
+        prod = _mul_limbs(list(a), list(b), xp)  # 2n limbs
+        return self._reduce(prod, xp)
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def _reduce(self, limbs, xp, bound: int = None):
+        """Fold limbs beyond n via E = 2^(32n) mod p until the value fits n
+        limbs.  A python-int value bound is tracked at trace time, so the
+        fold count and limb truncations are static and sound under jit."""
+        e = [xp.full_like(limbs[0], _U32(l)) for l in self.E_limbs_int]
+        R = 1 << (32 * self.n)
+        if bound is None:
+            bound = (1 << (32 * len(limbs))) - 1
+        cur = list(limbs)
+        while bound >= R:
+            lo = cur[: self.n]
+            hi = cur[self.n :]
+            if not hi:
+                break
+            hi_bound = bound >> (32 * self.n)
+            hi_e = _mul_limbs(hi, e, xp)
+            s = _add_limbs(lo, hi_e, xp)
+            bound = (R - 1) + hi_bound * self.E
+            keep = max(self.n, (bound.bit_length() + 31) // 32)
+            cur = s[:keep]
+        out = tuple(cur[: self.n])
+        # conditional subtracts: value < bound < some small multiple of p
+        subs = 0
+        b = min(bound, R - 1)
+        while b >= self.P:
+            subs += 1
+            b -= self.P
+        for _ in range(max(subs, 1)):
+            out = self._canon(out, xp)
+        return out
+
+    def exp_int(self, a, e: int):
+        xp = _xp(a[0])
+        e = int(e)
+        if e == 0:
+            return self.ones(a[0].shape, xp)
+        if xp is not np and e.bit_length() > 8:
+            return self._exp_loop_jax(a, e)
+        result = None
+        base = a
+        while e:
+            if e & 1:
+                result = base if result is None else self.mul(result, base)
+            e >>= 1
+            if e:
+                base = self.square(base)
+        return result
+
+    def _exp_loop_jax(self, a, e: int):
+        import jax
+        import jax.numpy as jnp
+
+        nbits = e.bit_length()
+        bits = jnp.asarray(
+            np.array([(e >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=np.uint32)
+        )
+        one = self.ones(a[0].shape, jnp)
+
+        def body(i, r):
+            r2 = self.square(r)
+            m = self.mul(r2, a)
+            cond = bits[i] == 1
+            return tuple(jnp.where(cond, x, y) for x, y in zip(m, r2))
+
+        return jax.lax.fori_loop(0, nbits, body, one)
+
+    def inv(self, a):
+        return self.exp_int(a, self.P - 2)
+
+    def get_root_of_unity(self, log_n: int) -> int:
+        assert 0 < log_n <= self.TWO_ADICITY
+        return pow(self.TWO_ADIC_ROOT_OF_UNITY, 1 << (self.TWO_ADICITY - log_n), self.P)
+
+
+def _is_static_zero(arr) -> bool:
+    """True only for concrete all-zero numpy arrays (safe under tracing)."""
+    return isinstance(arr, np.ndarray) and not arr.any()
+
+
+def _nbits_limbs(v: int) -> int:
+    return max(1, (v.bit_length() + 31) // 32)
+
+
+def _int_to_limbs(v: int, n: int):
+    return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(n)]
+
+
+# field instances (constants from math/src/field/{f62,f128}/mod.rs)
+F62 = LimbField(
+    modulus=4611624995532046337,  # 2^62 - 111*2^39 + 1 (f62/mod.rs:32)
+    n_limbs=2,
+    generator=3,
+    two_adicity=39,
+    two_adic_root=4421547261963328785,  # g with g^(2^39) == 1
+    name="f62",
+)
+
+F128 = LimbField(
+    modulus=340282366920938463463374557953744961537,  # 2^128 - 45*2^40 + 1
+    n_limbs=4,
+    generator=3,
+    two_adicity=40,
+    two_adic_root=23953097886125630542083529559205016746,  # f128/mod.rs
+    name="f128",
+)

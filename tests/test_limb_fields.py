@@ -1,0 +1,68 @@
+"""f62 / f128 limb-field differential tests vs python-int oracle."""
+
+import numpy as np
+import pytest
+
+from starkpack_winterfell_tpu.ops.limb_field import F62, F128
+
+rng = np.random.default_rng(31)
+
+
+def rand_elems(F, n):
+    out = []
+    for _ in range(n):
+        v = int.from_bytes(rng.bytes(32), "little") % F.P
+        out.append(v)
+    # edge cases
+    out[:6] = [0, 1, 2, F.P - 1, F.P - 2, (1 << (32 * F.n - 1)) % F.P]
+    return out
+
+
+@pytest.mark.parametrize("F", [F62, F128], ids=["f62", "f128"])
+class TestLimbField:
+    def test_roundtrip(self, F):
+        vals = rand_elems(F, 32)
+        assert F.to_ints(F.from_ints(vals)) == vals
+
+    def test_add_sub_neg(self, F):
+        a = rand_elems(F, 32)
+        b = rand_elems(F, 32)
+        fa, fb = F.from_ints(a), F.from_ints(b)
+        assert F.to_ints(F.add(fa, fb)) == [(x + y) % F.P for x, y in zip(a, b)]
+        assert F.to_ints(F.sub(fa, fb)) == [(x - y) % F.P for x, y in zip(a, b)]
+        assert F.to_ints(F.neg(fa)) == [(-x) % F.P for x in a]
+
+    def test_mul(self, F):
+        a = rand_elems(F, 64)
+        b = rand_elems(F, 64)
+        fa, fb = F.from_ints(a), F.from_ints(b)
+        assert F.to_ints(F.mul(fa, fb)) == [x * y % F.P for x, y in zip(a, b)]
+
+    def test_exp_inv(self, F):
+        a = rand_elems(F, 8)
+        fa = F.from_ints(a)
+        for e in [0, 1, 3, 7, 1 << 20]:
+            assert F.to_ints(F.exp_int(fa, e)) == [pow(x, e, F.P) for x in a]
+        assert F.to_ints(F.inv(fa)) == [pow(x, F.P - 2, F.P) if x else 0 for x in a]
+
+    def test_root_of_unity(self, F):
+        for k in [1, 5, F.TWO_ADICITY]:
+            w = F.get_root_of_unity(k)
+            assert pow(w, 1 << k, F.P) == 1
+            if k > 1:
+                assert pow(w, 1 << (k - 1), F.P) != 1
+
+    def test_jax_matches_numpy(self, F):
+        import jax
+        import jax.numpy as jnp
+
+        a = rand_elems(F, 16)
+        b = rand_elems(F, 16)
+        fa = tuple(jnp.asarray(x) for x in F.from_ints(a))
+        fb = tuple(jnp.asarray(x) for x in F.from_ints(b))
+        m = jax.jit(F.mul)(fa, fb)
+        m_host = tuple(np.asarray(x) for x in m)
+        assert F.to_ints(m_host) == [x * y % F.P for x, y in zip(a, b)]
+        i = jax.jit(F.inv)(fa)
+        i_host = tuple(np.asarray(x) for x in i)
+        assert F.to_ints(i_host) == [pow(x, F.P - 2, F.P) if x else 0 for x in a]

@@ -116,3 +116,42 @@ def test_randomized_air_tampered_main_fails():
         return  # prover-side degree assert caught the bad trace — fine
     with pytest.raises(VerifierError):
         verify(PermAir, proof, pub_inputs, Blake3_256)
+
+
+def test_merkle_auth_path_e2e():
+    import numpy as np
+
+    from starkpack_winterfell_tpu.models.merkle import (
+        MerklePathAir,
+        MerklePathProver,
+        build_merkle_path_trace,
+        compute_root,
+    )
+
+    rng = np.random.default_rng(40)
+    P = 2**64 - 2**32 + 1
+    leaf = [int(x) for x in rng.integers(0, P, size=4, dtype=np.uint64)]
+    depth = 4  # 32-row trace
+    siblings = [
+        [int(x) for x in rng.integers(0, P, size=4, dtype=np.uint64)]
+        for _ in range(depth)
+    ]
+    index = 0b1010
+
+    trace = build_merkle_path_trace(leaf, siblings, index)
+    want_root = compute_root(leaf, siblings, index)
+    got_root = [trace.get(4 + i, trace.length - 1) for i in range(4)]
+    assert got_root == want_root, "trace does not reproduce the Merkle root"
+
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 31)
+    prover = MerklePathProver(options, Blake3_256)
+    pub_inputs = [prover.get_pub_inputs(trace)]
+    proof = prover.prove(1, [trace])
+    assert verify(MerklePathAir, proof, pub_inputs, Blake3_256)
+
+    # wrong root must fail
+    from starkpack_winterfell_tpu.models.merkle import MerklePathInputs
+
+    bad = [MerklePathInputs([(want_root[0] + 1) % P] + want_root[1:])]
+    with pytest.raises(VerifierError):
+        verify(MerklePathAir, proof, bad, Blake3_256)
