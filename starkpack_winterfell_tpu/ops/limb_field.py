@@ -236,25 +236,33 @@ class LimbField:
         if bound is None:
             bound = (1 << (32 * len(limbs))) - 1
         cur = list(limbs)
-        while bound >= R:
+
+        def fold():
+            nonlocal cur, bound
             lo = cur[: self.n]
             hi = cur[self.n :]
-            if not hi:
-                break
             hi_bound = bound >> (32 * self.n)
             hi_e = _mul_limbs(hi, e, xp)
             s = _add_limbs(lo, hi_e, xp)
             bound = (R - 1) + hi_bound * self.E
             keep = max(self.n, (bound.bit_length() + 31) // 32)
             cur = s[:keep]
+
+        # Phase A: while the high part has >= 2^32 of weight, each fold
+        # shrinks the bound geometrically (divides hi by ~2^(32n-bits(E)))
+        while bound >= (R << 32):
+            fold()
+        # Phase B: at most 3 more folds; the value strictly decreases by
+        # >= R - E per fold with a nonzero top, so v < R is reached even
+        # though the *bound* recursion alone has a fixed point just above R
+        # (if top == 1 and v >= R then v' = v - R + E < 2E < R).
+        for _ in range(3):
+            if bound < R or len(cur) <= self.n:
+                break
+            fold()
         out = tuple(cur[: self.n])
-        # conditional subtracts: value < bound < some small multiple of p
-        subs = 0
-        b = min(bound, R - 1)
-        while b >= self.P:
-            subs += 1
-            b -= self.P
-        for _ in range(max(subs, 1)):
+        # conditional subtracts: value < R -> at most (R-1)//P subtracts
+        for _ in range(max((R - 1) // self.P, 1)):
             out = self._canon(out, xp)
         return out
 
