@@ -192,5 +192,16 @@ for _h in (Blake3_256, Blake3_192, Sha3_256):
     HASHERS[_h.NAME] = _h
 
 
+def _register_field_hashers():
+    from .rescue import Rp64_256
+    from .rescue_jive import RpJive64_256
+
+    HASHERS[Rp64_256.NAME] = Rp64_256
+    HASHERS[RpJive64_256.NAME] = RpJive64_256
+
+
+_register_field_hashers()
+
+
 def get_hasher(name: str):
     return HASHERS[name]

@@ -88,3 +88,57 @@ def test_merge_words_matches_host():
     r = Rp64_256.digest_from_bytes(dig_bytes[1]).reshape(1, 8)
     got = Rp64_256.merge_words(l, r)
     assert Rp64_256.digest_to_bytes(got[0]) == want
+
+
+class TestJive:
+    GOLDEN_OUT = [
+        16940713730596720799, 16218555904323712189, 11042680722444601138,
+        5370396747047489939, 6349480890410006944, 1551053614279730715,
+        3995941143622927528, 9350074312471431779,
+    ]
+
+    def test_permutation_golden(self):
+        from starkpack_winterfell_tpu.crypto.rescue_jive import apply_permutation_ints
+
+        assert apply_permutation_ints(list(range(8))) == self.GOLDEN_OUT
+
+    def test_merge_words_matches_host(self):
+        from starkpack_winterfell_tpu.crypto.rescue_jive import RpJive64_256
+
+        rng2 = np.random.default_rng(55)
+        elems = rng2.integers(0, gl.P, size=(2, 4), dtype=np.uint64)
+        dig = [b"".join(int(e).to_bytes(8, "little") for e in row) for row in elems]
+        want = RpJive64_256.merge(dig[0], dig[1])
+        l = RpJive64_256.digest_from_bytes(dig[0]).reshape(1, 8)
+        r = RpJive64_256.digest_from_bytes(dig[1]).reshape(1, 8)
+        got = RpJive64_256.merge_words(l, r)
+        assert RpJive64_256.digest_to_bytes(got[0]) == want
+
+    def test_hash_words_matches_host(self):
+        from starkpack_winterfell_tpu.crypto.rescue_jive import RpJive64_256
+        from starkpack_winterfell_tpu.utils.convert import rows_to_words
+
+        rng2 = np.random.default_rng(56)
+        rows = rng2.integers(0, gl.P, size=(3, 6), dtype=np.uint64)
+        pairs = gl.from_u64(rows)
+        words = rows_to_words((pairs,), 1)
+        dev = RpJive64_256.hash_words(words, 48)
+        for r in range(3):
+            want = RpJive64_256.hash_elements([int(x) for x in rows[r]])
+            assert RpJive64_256.digest_to_bytes(dev[r]) == want
+
+    def test_e2e_with_jive_hasher(self):
+        from starkpack_winterfell_tpu import FieldExtension, ProofOptions, verify
+        from starkpack_winterfell_tpu.crypto.rescue_jive import RpJive64_256
+        from starkpack_winterfell_tpu.models.do_work import (
+            DoWorkAir,
+            DoWorkProver,
+            build_do_work_trace,
+        )
+
+        options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 31)
+        traces = [build_do_work_trace(5, 32)]
+        prover = DoWorkProver(options, RpJive64_256)
+        pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+        proof = prover.prove(1, traces)
+        assert verify(DoWorkAir, proof, pub_inputs, RpJive64_256)
