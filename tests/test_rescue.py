@@ -142,3 +142,47 @@ class TestJive:
         pub_inputs = [prover.get_pub_inputs(t) for t in traces]
         proof = prover.prove(1, traces)
         assert verify(DoWorkAir, proof, pub_inputs, RpJive64_256)
+
+
+class TestGriffin:
+    def test_permutation_golden(self):
+        from starkpack_winterfell_tpu.crypto.griffin import apply_permutation_ints
+
+        got = apply_permutation_ints(list(range(8)))
+        want = [
+            5100889723013202324, 6905683344086677437, 8236358786066512460,
+            1729367862961866374, 11501420603552582981, 15040992847148175954,
+            10400407304634768298, 1197713229800045418,
+        ]
+        assert got == want
+
+    def test_limbs_match_ints(self):
+        from starkpack_winterfell_tpu.crypto.griffin import (
+            apply_permutation_ints,
+            apply_permutation_limbs,
+        )
+
+        rng2 = np.random.default_rng(60)
+        state_ints = rng2.integers(0, gl.P, size=(8, 3), dtype=np.uint64)
+        state_limbs = [gl.from_u64(state_ints[i]) for i in range(8)]
+        out = apply_permutation_limbs(state_limbs, np)
+        for b in range(3):
+            want = apply_permutation_ints([int(state_ints[i][b]) for i in range(8)])
+            got = [int(gl.to_u64(out[i])[b]) for i in range(8)]
+            assert got == want
+
+    def test_e2e_with_griffin_hasher(self):
+        from starkpack_winterfell_tpu import FieldExtension, ProofOptions, verify
+        from starkpack_winterfell_tpu.crypto.griffin import GriffinJive64_256
+        from starkpack_winterfell_tpu.models.do_work import (
+            DoWorkAir,
+            DoWorkProver,
+            build_do_work_trace,
+        )
+
+        options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 31)
+        traces = [build_do_work_trace(9, 32)]
+        prover = DoWorkProver(options, GriffinJive64_256)
+        pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+        proof = prover.prove(1, traces)
+        assert verify(DoWorkAir, proof, pub_inputs, GriffinJive64_256)
