@@ -23,13 +23,12 @@ def main():
 
     from starkpack_winterfell_tpu.ops import gl64 as gl, ntt
 
-    log_n = 18
+    log_n = 21
     n = 1 << log_n
-    batch = 8
 
     rng = np.random.default_rng(0)
-    cols = rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64)
-    pair = gl.from_u64(cols)
+    cols = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    pair = tuple(jax.device_put(x) for x in gl.from_u64(cols))
 
     fn = jax.jit(lambda c: ntt.ntt_components((c,))[0])
 
@@ -37,15 +36,15 @@ def main():
     out = fn(pair)
     jax.block_until_ready(out)
 
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(pair)
+        out = fn(out)  # chain iterations so each depends on the last
     jax.block_until_ready(out)
     t1 = time.perf_counter()
 
     per_transform = (n // 2) * log_n
-    total_butterflies = per_transform * batch * iters
+    total_butterflies = per_transform * iters
     value = total_butterflies / (t1 - t0)
 
     print(

@@ -127,8 +127,7 @@ def _truncate_words(d, nbytes: int):
 
 class Sha3_256:
     """crypto/src/hash/sha/mod.rs — host path via hashlib; device words path
-    converts words to bytes per row (slow fallback; a keccak-f[1600] limb
-    kernel is the planned device path)."""
+    is the vectorized keccak-f[1600] lane-pair kernel (ops/keccak.py)."""
 
     NAME = "sha3_256"
     DIGEST_BYTES = 32
@@ -156,27 +155,15 @@ class Sha3_256:
 
     @staticmethod
     def hash_words(words, byte_len: int):
-        arr = np.asarray(words)
-        flat = arr.reshape(-1, arr.shape[-1])
-        out = np.empty(flat.shape[:1] + (8,), dtype=np.uint32)
-        for i in range(flat.shape[0]):
-            data = b"".join(int(w).to_bytes(4, "little") for w in flat[i])[:byte_len]
-            out[i] = np.frombuffer(hashlib.sha3_256(data).digest(), dtype="<u4")
-        return out.reshape(arr.shape[:-1] + (8,))
+        from ..ops.keccak import sha3_256_words
+
+        return sha3_256_words(words, byte_len)
 
     @staticmethod
     def merge_words(l, r):
-        la = np.asarray(l).reshape(-1, 8)
-        ra = np.asarray(r).reshape(-1, 8)
-        out = np.empty_like(la)
-        for i in range(la.shape[0]):
-            out[i] = np.frombuffer(
-                hashlib.sha3_256(
-                    b3.digest_to_bytes(la[i]) + b3.digest_to_bytes(ra[i])
-                ).digest(),
-                dtype="<u4",
-            )
-        return out.reshape(np.asarray(l).shape)
+        from ..ops.keccak import sha3_merge_words
+
+        return sha3_merge_words(l, r)
 
     @staticmethod
     def digest_to_bytes(d) -> bytes:

@@ -30,12 +30,19 @@ def build_levels(leaves, hasher):
 
 
 class MerkleTree:
-    """Host-side tree over materialized levels (numpy (m, 8) u32 arrays)."""
+    """Host-side tree view over levels that may live on an accelerator.
+
+    Only the root is materialized eagerly; ``prove_batch`` gathers exactly
+    the leaf/sibling digests it needs (one batched gather per level), so
+    committing never transfers the full tree off-device.
+    """
 
     def __init__(self, levels, hasher):
-        self.levels = [np.asarray(l) for l in levels]
+        self.levels = list(levels)
         self.h = hasher
         self.n = self.levels[0].shape[0]
+        self._root_bytes = hasher.digest_to_bytes(np.asarray(self.levels[-1][0]))
+        self._fetch_cache = {}
 
     @classmethod
     def from_leaves(cls, leaves, hasher) -> "MerkleTree":
@@ -46,22 +53,62 @@ class MerkleTree:
         return len(self.levels) - 1
 
     def root(self) -> bytes:
-        return self.h.digest_to_bytes(self.levels[-1][0])
+        return self._root_bytes
 
     def leaf_bytes(self, i: int) -> bytes:
-        return self.h.digest_to_bytes(self.levels[0][i])
+        return self._fetch(0, i)
 
     def _node_bytes(self, j: int) -> bytes:
         """Reference flat node indexing: root at 1; node j in [1, n) at depth
         k (2^k <= j < 2^(k+1)) is levels[depth-k][j - 2^k]."""
         k = j.bit_length() - 1
-        return self.h.digest_to_bytes(self.levels[self.depth - k][j - (1 << k)])
+        return self._fetch(self.depth - k, j - (1 << k))
+
+    def _fetch(self, level: int, idx: int) -> bytes:
+        key = (level, idx)
+        if key not in self._fetch_cache:
+            self._fetch_cache[key] = self.h.digest_to_bytes(
+                np.asarray(self.levels[level][idx])
+            )
+        return self._fetch_cache[key]
+
+    def prefetch_batch(self, indexes):
+        """Gather every digest ``prove_batch(indexes)`` will touch, one
+        batched device gather per level (keeps device->host traffic at
+        O(q log n) digests instead of the whole tree)."""
+        need = [set() for _ in range(len(self.levels))]
+        norm = _normalize_indexes(indexes)
+        for index in norm:
+            need[0].add(index)
+            need[0].add(index + 1)
+        cur = [(index + self.n) >> 1 for index in norm]
+        for _ in range(1, self.depth):
+            nxt = []
+            i = 0
+            while i < len(cur):
+                sibling = cur[i] ^ 1
+                if i + 1 < len(cur) and cur[i + 1] == sibling:
+                    i += 1
+                else:
+                    k = sibling.bit_length() - 1
+                    need[self.depth - k].add(sibling - (1 << k))
+                nxt.append(sibling >> 1)
+                i += 1
+            cur = nxt
+        for level, idxs in enumerate(need):
+            idxs = sorted(i for i in idxs if (level, i) not in self._fetch_cache)
+            if not idxs:
+                continue
+            gathered = np.asarray(self.levels[level][np.array(idxs)])
+            for i, row in zip(idxs, gathered):
+                self._fetch_cache[(level, i)] = self.h.digest_to_bytes(row)
 
     # -- batched proofs (merkle/mod.rs:222-284) -----------------------------
 
     def prove_batch(self, indexes) -> "BatchMerkleProof":
         assert indexes, "at least one index required"
         assert len(indexes) <= 255, "too many paths"
+        self.prefetch_batch(indexes)
         index_map = _map_indexes(indexes, self.depth)
         norm = _normalize_indexes(indexes)
         leaves = [b""] * len(index_map)

@@ -134,6 +134,89 @@ def _scale_const(c, k: int, xp):
     return gl.mul(c, kc)
 
 
+def _ntt_axis0(comps, inverse: bool = False):
+    """DIT transform along axis 0 of (n, lanes) arrays — the lane axis stays
+    minor, so every butterfly is a full-width VPU op (TPU-friendly layout)."""
+    xp = gl._xp(comps[0][0])
+    n = comps[0][0].shape[0]
+    if n == 1:
+        return comps
+    bits = n.bit_length() - 1
+    rev = _bit_rev_perm(n)
+    comps = tuple((lo[rev], hi[rev]) for lo, hi in comps)
+    tables = _stage_twiddles(n, inverse)
+    for s in range(1, bits + 1):
+        m = 1 << s
+        half = m // 2
+        tw = tables[s - 1]
+        twl = xp.asarray(tw[0])[:, None]
+        twh = xp.asarray(tw[1])[:, None]
+        new_comps = []
+        for lo, hi in comps:
+            shp = (n // m, m) + lo.shape[1:]
+            ylo = lo.reshape(shp)
+            yhi = hi.reshape(shp)
+            elo, olo = ylo[:, :half], ylo[:, half:]
+            ehi, ohi = yhi[:, :half], yhi[:, half:]
+            t = gl.mul((olo, ohi), (twl, twh))
+            plo, phi = gl.add((elo, ehi), t)
+            mlo, mhi = gl.sub((elo, ehi), t)
+            new_comps.append(
+                (
+                    xp.concatenate([plo, mlo], axis=1).reshape(lo.shape),
+                    xp.concatenate([phi, mhi], axis=1).reshape(hi.shape),
+                )
+            )
+        comps = tuple(new_comps)
+    return comps
+
+
+def ntt_four_step(comps, n1: int = None, inverse: bool = False, scale: bool = True):
+    """Four-step NTT of a 1-D transform of size n = n1*n2 (both powers of 2):
+    column NTTs on a (n1, n2) view, twiddle multiply, transpose, column NTTs
+    — the single-chip version of the six-step decomposition the reference
+    uses for concurrency (prover/src/matrix/segments.rs:232-271), and the
+    template for the multi-chip all-to-all NTT.
+    """
+    xp = gl._xp(comps[0][0])
+    n = comps[0][0].shape[-1]
+    assert comps[0][0].ndim == 1, "four-step path handles single transforms"
+    if n1 is None:
+        n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    root = gl.get_root_of_unity(n.bit_length() - 1)
+    if inverse:
+        root = pow(root, gl.P - 2, gl.P)
+
+    # inner twiddle matrix tw[k1, i2] = root^(i2*k1) = (root^i2)^k1
+    key = ("fourstep_tw", n, n1, inverse)
+    if key not in _TW_CACHE:
+        base = tuple(np.asarray(x) for x in power_series(root, n2))
+        cur = gl.from_u64(np.ones(n2, dtype=np.uint64))
+        trows = []
+        for _ in range(n1):
+            trows.append(cur)
+            cur = gl.mul(cur, base)
+        _TW_CACHE[key] = (
+            np.stack([r[0] for r in trows]),
+            np.stack([r[1] for r in trows]),
+        )
+    twl, twh = _TW_CACHE[key]
+    tw = (xp.asarray(twl), xp.asarray(twh))
+
+    out = []
+    view = tuple((c[0].reshape(n1, n2), c[1].reshape(n1, n2)) for c in comps)
+    a = _ntt_axis0(view, inverse)
+    b = tuple(gl.mul(c, tw) for c in a)
+    bt = tuple((c[0].T, c[1].T) for c in b)  # (n2, n1)
+    c = _ntt_axis0(bt, inverse)
+    res = tuple((x[0].reshape(n), x[1].reshape(n)) for x in c)
+    if inverse and scale:
+        n_inv = pow(n, gl.P - 2, gl.P)
+        res = tuple(_scale_const(x, n_inv, xp) for x in res)
+    return res
+
+
 # ---------------------------------------------------------------------------
 # reference-API equivalents (semantics of math/src/fft/serial.rs)
 # ---------------------------------------------------------------------------

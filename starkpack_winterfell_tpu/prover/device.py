@@ -385,7 +385,7 @@ class DeviceProver:
         seg = _to_dev((gl.from_u64(stacked),))
         k1 = trace_commit_kernel(n, w, length, blowup, domain.domain_offset, hasher, 1)
         polys, lde, levels = k1(seg)
-        main_tree = MerkleTree([np.asarray(l) for l in levels], hasher)
+        main_tree = MerkleTree(levels, hasher)
         channel.commit_trace(main_tree.root())
 
         # ---- Phase 2+3: constraints -> composition commitment ----
@@ -414,7 +414,7 @@ class DeviceProver:
             _stack_scalars(b_coeffs_list, ext_deg),
             _stack_scalars([[p] for p in final_powers], ext_deg, squeeze=True),
         )
-        constraint_tree = MerkleTree([np.asarray(l) for l in clevels], hasher)
+        constraint_tree = MerkleTree(clevels, hasher)
         channel.commit_constraints(constraint_tree.root())
 
         # ---- Phase 4: OOD + DEEP ----
@@ -454,15 +454,12 @@ class DeviceProver:
         for _ in range(fri_options.num_fri_layers(L)):
             kh = fri_hash_kernel(cur_L, N, ext_deg, hasher)
             transposed, flevels = kh(evals)
-            tree = MerkleTree([np.asarray(l) for l in flevels], hasher)
+            tree = MerkleTree(flevels, hasher)
             channel.commit_fri_layer(tree.root())
             alpha = channel.draw_fri_alpha()
             kf = fri_fold_kernel(cur_L, N, domain.domain_offset, ext_deg)
             evals = kf(transposed, _to_dev(scalar_to_limbs(alpha, ext_deg)))
-            transposed_h = tuple(
-                (np.asarray(c[0]), np.asarray(c[1])) for c in transposed
-            )
-            fri_layers.append((transposed_h, tree))
+            fri_layers.append((transposed, tree))
             cur_L //= N
 
         # remainder
@@ -476,29 +473,55 @@ class DeviceProver:
         channel.grind_query_seed()
         positions = channel.get_query_positions()
 
-        # FRI proof
+        # FRI proof (gather only the queried rows off-device)
         proof_layers = []
         pos = list(positions)
         dsize = L
-        for transposed_h, tree in fri_layers:
+        for transposed_dev, tree in fri_layers:
             pos = fold_positions(pos, dsize, N)
             mp = tree.prove_batch(pos)
+            pidx = np.array(pos)
+            gathered = tuple(
+                (np.asarray(c[0][pidx]), np.asarray(c[1][pidx])) for c in transposed_dev
+            )
             rows = []
-            for p in pos:
-                row_limbs = tuple((c[0][p], c[1][p]) for c in transposed_h)
+            for i in range(len(pos)):
+                row_limbs = tuple((c[0][i], c[1][i]) for c in gathered)
                 rows.append(limbs_to_elems(row_limbs, ext_deg))
             proof_layers.append(FriProofLayer.new(rows, mp, ext_deg))
             dsize //= N
         fri_proof = FriProof.new(proof_layers, remainder_elements, 1)
 
-        # trace + constraint queries (gather rows on host copies)
-        lde_h = tuple((np.asarray(c[0]), np.asarray(c[1])) for c in lde)
-        main_ldes = [tuple((c[0][i], c[1][i]) for c in lde_h) for i in range(n)]
-        trace_queries = [build_segment_queries(main_ldes, main_tree, positions, 1)]
-        comp_lde_h = tuple((np.asarray(c[0]), np.asarray(c[1])) for c in comp_lde)
+        # trace + constraint queries: device gather of queried rows only
+        pidx = np.array(positions)
+        main_rows = tuple(
+            (np.asarray(c[0][:, :, pidx]), np.asarray(c[1][:, :, pidx])) for c in lde
+        )  # (n, w, q)
+        from ..air.proof import JointTraceQueries
+
+        traces_states = []
+        for i in range(n):
+            rows = []
+            for qi in range(len(positions)):
+                row_limbs = tuple((c[0][i, :, qi], c[1][i, :, qi]) for c in main_rows)
+                rows.append(limbs_to_elems(row_limbs, 1))
+            traces_states.append(rows)
+        comb_states = []
+        for qi in range(len(positions)):
+            row = []
+            for ts in traces_states:
+                row.extend(ts[qi])
+            comb_states.append(row)
+        trace_queries = [
+            JointTraceQueries.new(main_tree.prove_batch(positions), comb_states, traces_states)
+        ]
+
+        comp_rows = tuple(
+            (np.asarray(c[0][:, pidx]), np.asarray(c[1][:, pidx])) for c in comp_lde
+        )  # (num_cols, q)
         crows = []
-        for p in positions:
-            row_limbs = tuple((c[0][:, p], c[1][:, p]) for c in comp_lde_h)
+        for qi in range(len(positions)):
+            row_limbs = tuple((c[0][:, qi], c[1][:, qi]) for c in comp_rows)
             crows.append(limbs_to_elems(row_limbs, ext_deg))
         constraint_queries = Queries.new(constraint_tree.prove_batch(positions), crows, ext_deg)
 
