@@ -23,28 +23,36 @@ def main():
 
     from starkpack_winterfell_tpu.ops import gl64 as gl, ntt
 
-    log_n = 21
+    # batched column transforms — the shape the prover actually runs
+    # (per-column trace LDE of a 32-instance aggregated batch)
+    log_n = 13
     n = 1 << log_n
+    batch = 128
+    iters = 20
 
     rng = np.random.default_rng(0)
-    cols = rng.integers(0, gl.P, size=n, dtype=np.uint64)
+    cols = rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64)
     pair = tuple(jax.device_put(x) for x in gl.from_u64(cols))
 
-    fn = jax.jit(lambda c: ntt.ntt_components((c,))[0])
+    # chain `iters` NTTs inside ONE jitted call so tunnel dispatch latency is
+    # paid once; a host readback is the only reliable completion fence on the
+    # tunneled backend (block_until_ready returns early)
+    def chained(c):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, x: ntt.ntt_components((x,))[0], c
+        )
 
-    # warm up / compile
+    fn = jax.jit(chained)
     out = fn(pair)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[0][:1, :4])
 
-    iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(out)  # chain iterations so each depends on the last
-    jax.block_until_ready(out)
+    out = fn(pair)
+    _ = np.asarray(out[0][:1, :4])  # force full materialization
     t1 = time.perf_counter()
 
     per_transform = (n // 2) * log_n
-    total_butterflies = per_transform * iters
+    total_butterflies = per_transform * batch * iters
     value = total_butterflies / (t1 - t0)
 
     print(
