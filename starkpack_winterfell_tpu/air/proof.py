@@ -430,5 +430,39 @@ class StarkProof:
             query_security += options.grinding_factor
         return min(min(field_security, query_security) - 1, hash_collision_resistance)
 
+    def security_level_proven(self, hash_collision_resistance: int = 128) -> int:
+        """Proven security per eprint 2021/582 + 2022/1216
+        (proof/mod.rs:227-284)."""
+        import math
+
+        options = self.contexts[0].options
+        base_field_bits = self.contexts[0].num_modulus_bits()
+        trace_domain_size = self.trace_length(0)
+        lde_domain_size = self.lde_domain_size(0)
+
+        ext_bits = float(base_field_bits * options.field_extension)
+        blowup_bits = float(options.blowup_factor.bit_length() - 1)
+        num_queries = float(options.num_queries)
+        lde_size_bits = float(lde_domain_size.bit_length() - 1)
+        blowup_plus_bits = math.log2(lde_domain_size / (trace_domain_size + 2.0))
+
+        m = ext_bits + 1.0
+        m -= options.grinding_factor
+        m -= 1.5 * blowup_bits
+        m -= 0.5 * num_queries * blowup_plus_bits
+        m -= 2.0 * lde_size_bits
+        m /= 7.0
+        m = 2.0**m
+        m -= 0.5
+        m = max(m, 3.0)
+
+        pre_query_security = int(
+            ext_bits + 1.0 - 1.5 * blowup_bits - 2.0 * lde_size_bits
+            - 7.0 * math.log2(m + 0.5)
+        )
+        security_per_query = 0.5 * blowup_plus_bits - math.log2(1.0 + 1.0 / (2.0 * m))
+        query_security = int(security_per_query * num_queries) + options.grinding_factor
+        return min(min(pre_query_security, query_security) - 1, hash_collision_resistance)
+
     def __eq__(self, other):
         return isinstance(other, StarkProof) and self.to_bytes() == other.to_bytes()

@@ -58,39 +58,63 @@ def _xor(a, b):
     return a[0] ^ b[0], a[1] ^ b[1]
 
 
-def keccak_f(lanes):
-    """lanes: dict-free 5x5 list of (lo, hi) pairs; returns new 5x5 list."""
-    A = [[lanes[x][y] for y in range(5)] for x in range(5)]
-    for rnd in range(24):
-        # theta
-        C = [A[x][0] for x in range(5)]
-        for x in range(5):
-            for y in range(1, 5):
-                C[x] = _xor(C[x], A[x][y])
-        D = [
-            _xor(C[(x - 1) % 5], _rotl(C[(x + 1) % 5], 1)) for x in range(5)
-        ]
-        for x in range(5):
-            for y in range(5):
-                A[x][y] = _xor(A[x][y], D[x])
-        # rho + pi
-        B = [[None] * 5 for _ in range(5)]
-        for x in range(5):
-            for y in range(5):
-                B[y][(2 * x + 3 * y) % 5] = _rotl(A[x][y], ROT[x][y])
-        # chi
-        for x in range(5):
-            for y in range(5):
-                nx = B[(x + 1) % 5][y]
-                nnx = B[(x + 2) % 5][y]
-                A[x][y] = (
-                    B[x][y][0] ^ ((~nx[0]) & nnx[0]),
-                    B[x][y][1] ^ ((~nx[1]) & nnx[1]),
-                )
-        # iota
-        rc = RC[rnd]
-        A[0][0] = (A[0][0][0] ^ _U32(rc & 0xFFFFFFFF), A[0][0][1] ^ _U32(rc >> 32))
+def _keccak_round(A, rc_lo, rc_hi):
+    """One keccak-f round on a 5x5 list of (lo, hi) pairs; rc as u32 values."""
+    # theta
+    C = [A[x][0] for x in range(5)]
+    for x in range(5):
+        for y in range(1, 5):
+            C[x] = _xor(C[x], A[x][y])
+    D = [_xor(C[(x - 1) % 5], _rotl(C[(x + 1) % 5], 1)) for x in range(5)]
+    for x in range(5):
+        for y in range(5):
+            A[x][y] = _xor(A[x][y], D[x])
+    # rho + pi
+    B = [[None] * 5 for _ in range(5)]
+    for x in range(5):
+        for y in range(5):
+            B[y][(2 * x + 3 * y) % 5] = _rotl(A[x][y], ROT[x][y])
+    # chi
+    for x in range(5):
+        for y in range(5):
+            nx = B[(x + 1) % 5][y]
+            nnx = B[(x + 2) % 5][y]
+            A[x][y] = (
+                B[x][y][0] ^ ((~nx[0]) & nnx[0]),
+                B[x][y][1] ^ ((~nx[1]) & nnx[1]),
+            )
+    # iota
+    A[0][0] = (A[0][0][0] ^ rc_lo, A[0][0][1] ^ rc_hi)
     return A
+
+
+def keccak_f(lanes):
+    """lanes: 5x5 list of (lo, hi) pairs; returns new 5x5 list.
+
+    Under jax the 24 rounds roll into a fori_loop (unrolled keccak makes
+    XLA:CPU compilation pathological, same as long exponentiation chains)."""
+    A = [[lanes[x][y] for y in range(5)] for x in range(5)]
+    xp = gl._xp(A[0][0][0])
+    if xp is np:
+        for rnd in range(24):
+            rc = RC[rnd]
+            A = _keccak_round(A, _U32(rc & 0xFFFFFFFF), _U32(rc >> 32))
+        return A
+
+    import jax
+    import jax.numpy as jnp
+
+    rc_lo = jnp.asarray(np.array([rc & 0xFFFFFFFF for rc in RC], dtype=np.uint32))
+    rc_hi = jnp.asarray(np.array([rc >> 32 for rc in RC], dtype=np.uint32))
+
+    def body(rnd, flat):
+        A = [[flat[5 * x + y] for y in range(5)] for x in range(5)]
+        A = _keccak_round(A, rc_lo[rnd], rc_hi[rnd])
+        return tuple(A[x][y] for x in range(5) for y in range(5))
+
+    flat = tuple(A[x][y] for x in range(5) for y in range(5))
+    flat = jax.lax.fori_loop(0, 24, body, flat)
+    return [[flat[5 * x + y] for y in range(5)] for x in range(5)]
 
 
 def sha3_256_words(words, byte_len: int):

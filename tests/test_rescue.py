@@ -186,3 +186,16 @@ class TestGriffin:
         pub_inputs = [prover.get_pub_inputs(t) for t in traces]
         proof = prover.prove(1, traces)
         assert verify(DoWorkAir, proof, pub_inputs, GriffinJive64_256)
+
+
+def test_rp62_permutation_golden():
+    from starkpack_winterfell_tpu.crypto.rescue62 import apply_permutation_ints as perm62
+
+    got = perm62(list(range(12)))
+    want = [
+        2176593392043442589, 3663362000910009411, 2446978550600442325,
+        4214718471639678996, 4179776369445579812, 2274316532403536457,
+        2336761070419368662, 3192888412646553651, 4092565229845701133,
+        753437048204208885, 4067414342325289862, 3516613610105678931,
+    ]
+    assert got == want
