@@ -28,6 +28,74 @@ def make_mesh(n_devices: int = None, axis: str = "dp"):
     return Mesh(np.array(devices[:n_devices]), (axis,))
 
 
+def sharded_ntt(mesh, n: int, n1: int = None):
+    """Multi-chip NTT: the six-step decomposition with the transpose as an
+    ICI all-to-all (SURVEY.md §2.9 P3 — the reference's split_radix_fft
+    concurrency, prover/src/matrix/segments.rs:232-271, lifted to chips).
+
+    A size-n transform viewed as (n1, n2) is sharded on the column axis:
+      1. local column NTTs (size n1) over each device's n2/d columns
+      2. local twiddle multiply w^(i2*k1)
+      3. all_to_all transpose -> (n2, n1) sharded on its column axis
+      4. local column NTTs (size n2)
+    Input/output: (lo, hi) pairs of shape (n1, n2) / (n2, n1), sharded on
+    axis 1; the flattened row-major output is the natural-order NTT.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..math import scalar as fs
+    from ..ops import gl64 as gl, ntt
+    from ..ops.ntt import _ntt_axis0
+
+    if n1 is None:
+        n1 = 1 << ((n.bit_length() - 1) // 2)
+    n2 = n // n1
+    d = mesh.devices.size
+    root = fs.get_root_of_unity(n.bit_length() - 1)
+
+    # per-device twiddle block: tw[k1, i2_local] with global i2 offset
+    base = tuple(np.asarray(x) for x in ntt.power_series(root, n2))
+    cur = gl.from_u64(np.ones(n2, dtype=np.uint64))
+    rows = []
+    for _ in range(n1):
+        rows.append(cur)
+        cur = gl.mul(cur, base)
+    twl_full = np.stack([r[0] for r in rows])  # (n1, n2)
+    twh_full = np.stack([r[1] for r in rows])
+
+    def local_step(lo, hi, twl, twh):
+        # lo/hi: (n1, n2/d) local columns
+        a = _ntt_axis0(((lo, hi),))[0]
+        b = gl.mul(a, (twl, twh))
+        # all_to_all transpose: split rows across devices, concat columns
+        # (n1, n2/d) -> gather row-blocks (n1/d, n2) on each device, i.e.
+        # global transpose to (n2, n1) sharded by its second axis
+        blo = jax.lax.all_to_all(b[0], "dp", split_axis=0, concat_axis=1, tiled=True)
+        bhi = jax.lax.all_to_all(b[1], "dp", split_axis=0, concat_axis=1, tiled=True)
+        # now (n1/d, n2) — transpose locally to (n2, n1/d)
+        tlo, thi = blo.T, bhi.T
+        c = _ntt_axis0(((tlo, thi),))[0]
+        return c[0], c[1]
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(None, "dp"), P(None, "dp"), P(None, "dp"), P(None, "dp")),
+        out_specs=(P(None, "dp"), P(None, "dp")),
+        check_rep=False,
+    )
+    jitted = jax.jit(fn)
+
+    def run(pair):
+        """pair: (lo, hi) of shape (n1, n2) (natural row-major view)."""
+        return jitted(pair[0], pair[1], twl_full, twh_full)
+
+    return run
+
+
 def sharded_trace_commitment(mesh, hasher, blowup: int, domain_offset: int = 7):
     """Returns a jitted function computing the combined-row trace commitment
     root for a batch of traces sharded across the 'dp' mesh axis.
