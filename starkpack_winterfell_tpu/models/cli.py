@@ -35,6 +35,18 @@ def get_example(name: str):
             RescueChainProver,
             lambda i, l: build_chain_trace([i + 1] * 8, l // CYCLE_LENGTH),
         )
+    if name == "lamport":
+        from .lamport import LamportAir, LamportProver, build_lamport_trace, keygen, sign
+        from .rescue_chain import CYCLE_LENGTH
+
+        def build(i, l):
+            k = l // CYCLE_LENGTH - 1
+            secrets, pk_hashes, _ = keygen(k, seed=i)
+            message = (0x6A09E667F3BCC908 + i) % (1 << k) if k < 63 else i + 1
+            sig = sign(secrets, pk_hashes, message, k)
+            return build_lamport_trace(message, sig, k)
+
+        return LamportAir, LamportProver, build
     if name == "perm":
         from .permutation import PermAir, PermProver, build_perm_trace
 
@@ -44,7 +56,7 @@ def get_example(name: str):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("example", choices=["do-work", "fib", "rescue-chain", "perm"])
+    p.add_argument("example", choices=["do-work", "fib", "rescue-chain", "perm", "lamport"])
     p.add_argument("-n", "--num-traces", type=int, default=2)
     p.add_argument("-l", "--trace-length", type=int, default=1024)
     p.add_argument("-q", "--queries", type=int, default=32)

@@ -155,3 +155,59 @@ def test_merkle_auth_path_e2e():
     bad = [MerklePathInputs([(want_root[0] + 1) % P] + want_root[1:])]
     with pytest.raises(VerifierError):
         verify(MerklePathAir, proof, bad, Blake3_256)
+
+
+def test_lamport_signature_e2e():
+    from starkpack_winterfell_tpu import Sha3_256
+    from starkpack_winterfell_tpu.models.lamport import (
+        LamportAir,
+        LamportInputs,
+        LamportProver,
+        build_lamport_trace,
+        keygen,
+        sign,
+    )
+
+    k = 7  # message bits -> 64-row trace
+    secrets, pk_hashes, pub_key = keygen(k, seed=5)
+    message = 0b1011001
+    sig = sign(secrets, pk_hashes, message, k)
+    trace = build_lamport_trace(message, sig, k)
+
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 31)
+    # SHA3 transcript per the reference's Lamport config
+    prover = LamportProver(options, Sha3_256)
+    pub_inputs = [prover.get_pub_inputs(trace)]
+    assert pub_inputs[0].message == message
+    assert pub_inputs[0].pub_key == pub_key, "trace PK disagrees with host hasher"
+    proof = prover.prove(1, [trace])
+    assert verify(LamportAir, proof, pub_inputs, Sha3_256)
+
+    # verifying against a different message must fail
+    bad = [LamportInputs((message ^ 1), pub_key)]
+    with pytest.raises(VerifierError):
+        verify(LamportAir, proof, bad, Sha3_256)
+
+
+def test_lamport_forged_signature_fails():
+    from starkpack_winterfell_tpu import Blake3_256 as H
+    from starkpack_winterfell_tpu.models.lamport import (
+        LamportAir,
+        LamportProver,
+        build_lamport_trace,
+        keygen,
+        sign,
+    )
+
+    k = 7
+    secrets, pk_hashes, pub_key = keygen(k, seed=6)
+    message = 0b0110011
+    sig = sign(secrets, pk_hashes, message, k)
+    # forge: flip one message bit but keep the (now wrong) revealed secret
+    forged = message ^ (1 << 3)
+    trace = build_lamport_trace(forged, sig, k)
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 31)
+    prover = LamportProver(options, H)
+    pub_inputs = [prover.get_pub_inputs(trace)]
+    # the trace's final B digest no longer equals the real public key
+    assert pub_inputs[0].pub_key != pub_key
