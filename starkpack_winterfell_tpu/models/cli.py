@@ -66,6 +66,8 @@ def main(argv=None):
     p.add_argument("-f", "--folding", type=int, default=8)
     p.add_argument("-r", "--remainder", type=int, default=31)
     p.add_argument("--hash", default="blake3_256", choices=sorted(HASHERS))
+    p.add_argument("--device", action="store_true",
+                   help="run the jitted accelerator pipeline (prover/device.py)")
     args = p.parse_args(argv)
 
     air_class, prover_class, build = get_example(args.example)
@@ -84,7 +86,7 @@ def main(argv=None):
     prover = prover_class(options, hasher)
     pub_inputs = [prover.get_pub_inputs(t) for t in traces]
     t2 = time.perf_counter()
-    proof = prover.prove(args.num_traces, traces)
+    proof = prover.prove(args.num_traces, traces, device=args.device)
     t3 = time.perf_counter()
     print(f"Generated the aggregated proof in {(t3 - t2) * 1000:.0f} ms")
 
