@@ -184,7 +184,9 @@ class Queries:
         r = SliceReader(self.values)
         rows = [r.read_felts(values_per_query, ext_deg) for _ in range(num_queries)]
         table = Table(rows)
-        hashed = [hasher.hash_elements(row) for row in table.rows()]
+        from ..utils.convert import hash_element_rows
+
+        hashed = hash_element_rows(hasher, rows, ext_deg)
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
         proof = BatchMerkleProof.deserialize(pr, hashed, depth, hasher)
@@ -256,7 +258,9 @@ class JointTraceQueries:
         r = SliceReader(self.values)
         joint_rows = [r.read_felts(total, ext_deg) for _ in range(num_queries)]
         joint = Table(joint_rows)
-        hashed = [hasher.hash_elements(row) for row in joint.rows()]
+        from ..utils.convert import hash_element_rows
+
+        hashed = hash_element_rows(hasher, joint_rows, ext_deg)
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
         proof = BatchMerkleProof.deserialize(pr, hashed, depth, hasher)

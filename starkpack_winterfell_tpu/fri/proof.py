@@ -33,12 +33,11 @@ class FriProofLayer:
         if num_queries == 0:
             raise ValueError("a FRI layer must contain at least one query")
         r = SliceReader(self.values)
-        hashed = []
-        query_values = []
-        for _ in range(num_queries):
-            qe = r.read_felts(folding_factor, ext_deg)
-            hashed.append(hasher.hash_elements(qe))
-            query_values.extend(qe)
+        rows = [r.read_felts(folding_factor, ext_deg) for _ in range(num_queries)]
+        from ..utils.convert import hash_element_rows
+
+        hashed = hash_element_rows(hasher, rows, ext_deg)
+        query_values = [e for row in rows for e in row]
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
         proof = BatchMerkleProof.deserialize(pr, hashed, depth, hasher)

@@ -47,6 +47,24 @@ def rows_to_words(comps, deg: int):
     return stacked.reshape(shape)
 
 
+def hash_element_rows(hasher, rows, deg: int):
+    """Vectorized hash_elements over uniform rows of elements — one
+    hash_words call instead of a per-row host loop (hash_words implements
+    hash_elements semantics byte-for-byte for every registered hasher)."""
+    n = len(rows)
+    width = len(rows[0])
+    arr = np.zeros((deg, n, width), dtype=np.uint64)
+    for i, row in enumerate(rows):
+        for j, e in enumerate(row):
+            comps = fs.components(fs.embed(e, deg))
+            for c in range(deg):
+                arr[c, i, j] = comps[c]
+    comps = tuple(gl.from_u64(arr[c]) for c in range(deg))
+    words = rows_to_words(comps, deg)
+    digests = hasher.hash_words(words, width * deg * 8)
+    return [hasher.digest_to_bytes(digests[i]) for i in range(n)]
+
+
 def scalar_to_limbs(v, deg: int, shape=(1,)):
     """Single element -> tuple of `deg` (lo, hi) pairs broadcast to shape."""
     comps = fs.components(fs.embed(v, deg))
