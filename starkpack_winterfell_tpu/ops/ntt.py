@@ -81,12 +81,34 @@ def _stage_twiddles(n: int, inverse: bool):
     return tables
 
 
-def ntt_components(comps, inverse: bool = False, scale: bool = True):
+def ntt_consts(n: int, inverse: bool = False, device: bool = False):
+    """Precomputed constants for a size-n transform: (rev_perm, stage twiddle
+    tables).  With device=True the arrays are device_put once so jitted
+    callers can take them as ARGUMENTS instead of baking multi-MB literals
+    into the XLA graph (which makes large-size compilation pathological)."""
+    rev = _bit_rev_perm(n)
+    tables = _stage_twiddles(n, inverse)
+    if device:
+        import jax
+
+        key = ("dev_consts", n, inverse)
+        if key not in _TW_CACHE:
+            _TW_CACHE[key] = (
+                jax.device_put(rev),
+                [tuple(jax.device_put(x) for x in t) for t in tables],
+            )
+        return _TW_CACHE[key]
+    return rev, tables
+
+
+def ntt_components(comps, inverse: bool = False, scale: bool = True, consts=None):
     """Core transform.  ``comps`` is a tuple of (lo, hi) pairs (one per
     extension component), each with shape (..., n).  Returns same structure.
 
     Forward: result[..., i] = sum_j comps[..., j] * w^(i*j)  (natural order).
     Inverse (with scale=True): coefficient form, scaled by 1/n.
+    ``consts``: optional (rev, tables) from ntt_consts — pass through jit
+    arguments for large n.
     """
     xp = gl._xp(comps[0][0])
     n = comps[0][0].shape[-1]
@@ -95,10 +117,9 @@ def ntt_components(comps, inverse: bool = False, scale: bool = True):
     assert n & (n - 1) == 0, "size must be a power of two"
     bits = n.bit_length() - 1
 
-    rev = _bit_rev_perm(n)
+    rev, tables = consts if consts is not None else (_bit_rev_perm(n), _stage_twiddles(n, inverse))
     comps = tuple((xp.take(lo, rev, axis=-1), xp.take(hi, rev, axis=-1)) for lo, hi in comps)
 
-    tables = _stage_twiddles(n, inverse)
     for s in range(1, bits + 1):
         m = 1 << s
         half = m // 2
@@ -222,12 +243,13 @@ def ntt_four_step(comps, n1: int = None, inverse: bool = False, scale: bool = Tr
 # ---------------------------------------------------------------------------
 
 
-def evaluate_poly(comps):
+def evaluate_poly(comps, consts=None):
     """Coefficients -> evaluations over the size-n subgroup (natural order)."""
-    return ntt_components(comps, inverse=False)
+    return ntt_components(comps, inverse=False, consts=consts)
 
 
-def evaluate_poly_with_offset(comps, domain_offset: int, blowup_factor: int):
+def evaluate_poly_with_offset(comps, domain_offset: int, blowup_factor: int,
+                              offs=None, consts=None):
     """Coefficients (n) -> evaluations over the coset s*<w_L> of size
     L = n * blowup (natural order: result[i] = P(s * w_L^i)).
 
@@ -237,7 +259,8 @@ def evaluate_poly_with_offset(comps, domain_offset: int, blowup_factor: int):
     xp = gl._xp(comps[0][0])
     n = comps[0][0].shape[-1]
     big_n = n * blowup_factor
-    offs = power_series(domain_offset, n, xp)
+    if offs is None:
+        offs = power_series(domain_offset, n, xp)
     scaled = []
     for c in comps:
         sc = gl.mul(c, offs)
@@ -248,19 +271,20 @@ def evaluate_poly_with_offset(comps, domain_offset: int, blowup_factor: int):
                 xp.concatenate([sc[1], xp.zeros(pad_shape, dtype=np.uint32)], axis=-1),
             )
         )
-    return ntt_components(tuple(scaled), inverse=False)
+    return ntt_components(tuple(scaled), inverse=False, consts=consts)
 
 
-def interpolate_poly(comps):
+def interpolate_poly(comps, consts=None):
     """Evaluations over subgroup (natural order) -> coefficients."""
-    return ntt_components(comps, inverse=True, scale=True)
+    return ntt_components(comps, inverse=True, scale=True, consts=consts)
 
 
-def interpolate_poly_with_offset(comps, domain_offset: int):
+def interpolate_poly_with_offset(comps, domain_offset: int, inv_offs=None, consts=None):
     """Evaluations over coset s*<w_n> -> coefficients (serial.rs:78-93)."""
     xp = gl._xp(comps[0][0])
     n = comps[0][0].shape[-1]
-    coeffs = ntt_components(comps, inverse=True, scale=True)
-    inv_off = pow(domain_offset, gl.P - 2, gl.P)
-    offs = power_series(inv_off, n, xp)
-    return tuple(gl.mul(c, offs) for c in coeffs)
+    coeffs = ntt_components(comps, inverse=True, scale=True, consts=consts)
+    if inv_offs is None:
+        inv_off = pow(domain_offset, gl.P - 2, gl.P)
+        inv_offs = power_series(inv_off, n, xp)
+    return tuple(gl.mul(c, inv_offs) for c in coeffs)

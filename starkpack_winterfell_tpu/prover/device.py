@@ -46,13 +46,22 @@ def _to_dev(pairs):
 
 def trace_commit_kernel(n, w, length, blowup, offset, hasher, ext_deg):
     key = ("trace_commit", n, w, length, blowup, offset, hasher.NAME, ext_deg)
+    import jax
+
+    consts = {
+        "inv": ntt.ntt_consts(length, True, device=True),
+        "fwd": ntt.ntt_consts(length * blowup, False, device=True),
+        "offs": tuple(jax.device_put(np.asarray(x)) for x in ntt.power_series(offset, length)),
+    }
 
     def make():
-        def fn(seg):  # seg: tuple of ext_deg pairs, each (n, w, length)
+        def fn(seg, consts):  # seg: tuple of ext_deg pairs, each (n, w, length)
             import jax.numpy as jnp
 
-            polys = ntt.interpolate_poly(seg)
-            lde = ntt.evaluate_poly_with_offset(polys, offset, blowup)
+            polys = ntt.interpolate_poly(seg, consts=consts["inv"])
+            lde = ntt.evaluate_poly_with_offset(
+                polys, offset, blowup, offs=consts["offs"], consts=consts["fwd"]
+            )
             L = length * blowup
             # rows: (n, w, L) -> (L, n, w) -> (L, n*w) per component
             rows = tuple(
@@ -73,7 +82,8 @@ def trace_commit_kernel(n, w, length, blowup, offset, hasher, ext_deg):
 
         return fn
 
-    return _jit(key, make)
+    fn = _jit(key, make)
+    return lambda seg: fn(seg, consts)
 
 
 # ---------------------------------------------------------------------------
@@ -98,6 +108,8 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
     num_cols = air0.context.num_constraint_composition_columns()
     K = air0.context.num_transition_constraints()
 
+    import jax
+
     idx_cur = np.arange(ce) * shift
     idx_nxt = (idx_cur + blowup) % L
 
@@ -119,8 +131,6 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
             zfull = gl.mul(zfull, _exemptions_eval(d, domain))
         div_tables.append(zfull)
 
-    x_ce = domain.ce_x()
-
     groups_static = []
     for g in boundary_template.main_constraints:
         cons = []
@@ -128,10 +138,31 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
             cons.append((c.column, len(c.poly), c.poly_offset))
         groups_static.append(cons)
 
+    consts = {
+        "idx_cur": jax.device_put(idx_cur),
+        "idx_nxt": jax.device_put(idx_nxt),
+        "div": [tuple(jax.device_put(np.asarray(x)) for x in t) for t in div_tables],
+        "periodic": [
+            tuple(jax.device_put(np.asarray(x)) for x in c) for c in periodic.columns
+        ],
+        "inv_ce": ntt.ntt_consts(ce, True, device=True),
+        "inv_offs_ce": tuple(
+            jax.device_put(np.asarray(x))
+            for x in ntt.power_series(pow(domain.domain_offset, fs.P - 2, fs.P), ce)
+        ),
+        "fwd_L": ntt.ntt_consts(L, False, device=True),
+        "offs_tl": tuple(
+            jax.device_put(np.asarray(x))
+            for x in ntt.power_series(domain.domain_offset, trace_length)
+        ),
+    }
+
     def make():
-        def fn(main_lde, t_coeffs, b_single_vals, b_seq_vals, b_coeffs, final_powers):
+        def fn(main_lde, t_coeffs, b_single_vals, b_seq_vals, b_coeffs, final_powers, consts):
             import jax.numpy as jnp
 
+            idx_cur = consts["idx_cur"]
+            idx_nxt = consts["idx_nxt"]
             # frames over instance axis: Felt arrays shaped (n, ce)
             cur = [
                 Felt(tuple((c[0][:, w_i, idx_cur], c[1][:, w_i, idx_cur]) for c in main_lde))
@@ -142,7 +173,7 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
                 for w_i in range(main_lde[0][0].shape[1])
             ]
             frame = EvaluationFrame(cur, nxt)
-            pv = [Felt((jnp.broadcast_to(c[0], (n, ce)), jnp.broadcast_to(c[1], (n, ce)))) for c in periodic.columns] if periodic.columns else []
+            pv = [Felt((jnp.broadcast_to(c[0], (n, ce)), jnp.broadcast_to(c[1], (n, ce)))) for c in consts["periodic"]]
 
             t_result = [None] * K
             air0.evaluate_transition(frame, pv, t_result)
@@ -175,12 +206,14 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
 
             # divide by divisors, sum columns
             acc = vec.vzeros((n, ce), ext_deg, jnp)
-            for col, ztab in zip(columns, div_tables):
-                zt = (jnp.asarray(ztab[0]), jnp.asarray(ztab[1]))
+            for col, zt in zip(columns, consts["div"]):
                 acc = vec.vadd(acc, vec.vmul(vec.promote(col, ext_deg), (zt,)))
 
             # interpolate each instance's combined evaluations
-            coeffs = ntt.interpolate_poly_with_offset(acc, offset := domain.domain_offset)
+            coeffs = ntt.interpolate_poly_with_offset(
+                acc, domain.domain_offset,
+                inv_offs=consts["inv_offs_ce"], consts=consts["inv_ce"],
+            )
             # combine across instances with final_coeff powers, sum over axis 0
             fp = tuple((c[0][:, None], c[1][:, None]) for c in final_powers)
             weighted = vec.vmul(coeffs, fp)  # (n, ce)
@@ -194,7 +227,8 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
                 for c in vec.promote(final_comb, ext_deg)
             )
             comp_lde = ntt.evaluate_poly_with_offset(
-                comp_columns, domain.domain_offset, L // trace_length
+                comp_columns, domain.domain_offset, L // trace_length,
+                offs=consts["offs_tl"], consts=consts["fwd_L"],
             )
             # commit rows
             rows = tuple((c[0].T, c[1].T) for c in comp_lde)
@@ -211,7 +245,8 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
 
     key = ("constraints", type(air0).__name__, n, ce, L, ext_deg, hasher.NAME,
            tuple(tuple(cons) for cons in groups_static))
-    return _jit(key, make)
+    fn = _jit(key, make)
+    return lambda *args: fn(*args, consts)
 
 
 # ---------------------------------------------------------------------------
@@ -240,9 +275,15 @@ def ood_eval_kernel(n, w, length, ext_deg, num_cols):
 
 def deep_kernel(n, w, length, blowup, offset, ext_deg, num_cols):
     key = ("deep", n, w, length, blowup, offset, ext_deg, num_cols)
+    import jax
+
+    consts = {
+        "fwd_L": ntt.ntt_consts(length * blowup, False, device=True),
+        "offs": tuple(jax.device_put(np.asarray(x)) for x in ntt.power_series(offset, length)),
+    }
 
     def make():
-        def fn(polys, comp_columns, z, zg, tz, tzg, hz, cc_traces, cc_constraints):
+        def fn(polys, comp_columns, z, zg, tz, tzg, hz, cc_traces, cc_constraints, consts):
             import jax.numpy as jnp
 
             # T1 = sum_{i,j} k_ij P_ij(x): weight polys (n,w,len) by k (n,w)
@@ -266,11 +307,14 @@ def deep_kernel(n, w, length, blowup, offset, ext_deg, num_cols):
                 q = vec.syn_div_binomial(col, z)
                 kc = tuple((c[0][i : i + 1], c[1][i : i + 1]) for c in cc_constraints)
                 total = vec.vadd(total, vec.vmul(q, kc))
-            return ntt.evaluate_poly_with_offset(total, offset, blowup)
+            return ntt.evaluate_poly_with_offset(
+                total, offset, blowup, offs=consts["offs"], consts=consts["fwd_L"]
+            )
 
         return fn
 
-    return _jit(key, make)
+    fn = _jit(key, make)
+    return lambda *args: fn(*args, consts)
 
 
 def _sub_const_dev(poly, value):
