@@ -43,8 +43,13 @@ def sharded_ntt(mesh, n: int, n1: int = None):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
 
     from ..math import scalar as fs
     from ..ops import gl64 as gl, ntt
@@ -108,8 +113,13 @@ def sharded_trace_commitment(mesh, hasher, blowup: int, domain_offset: int = 7):
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
 
     from ..ops import ntt
     from ..utils.convert import rows_to_words
