@@ -98,14 +98,7 @@ def apply_permutation_limbs(state, xp):
         return s
 
     def apply_mds(s):
-        out = []
-        for i in range(STATE_WIDTH):
-            acc = None
-            for j in range(STATE_WIDTH):
-                term = gl.mul(s[j], bc(mds[i][j], s[j]))
-                acc = term if acc is None else gl.add(acc, term)
-            out.append(acc)
-        return out
+        return gl.mds_circulant(s, tuple(MDS_G[0]))
 
     for r in range(NUM_ROUNDS - 1):
         state = non_linear(state)

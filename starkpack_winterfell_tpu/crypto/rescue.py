@@ -71,25 +71,20 @@ def _exp_inv_alpha(x):
     return gl.exp_int(x, INV_ALPHA)
 
 
+MDS_ROW0 = tuple(MDS[0])
+
+
 def apply_permutation_limbs(state, xp):
     """state: list of 12 (lo, hi) pairs (any batch shape)."""
-    mds, ark1, ark2 = _consts()
+    _, ark1, ark2 = _consts()
 
     def add_const(s, c):
         cc = (xp.asarray(c[0]), xp.asarray(c[1]))
         return gl.add(s, (xp.broadcast_to(cc[0], s[0].shape), xp.broadcast_to(cc[1], s[1].shape)))
 
     def apply_mds(s):
-        out = []
-        for i in range(STATE_WIDTH):
-            acc = None
-            for j in range(STATE_WIDTH):
-                c = mds[i][j]
-                cc = (xp.asarray(c[0]), xp.asarray(c[1]))
-                term = gl.mul(s[j], (xp.broadcast_to(cc[0], s[j][0].shape), xp.broadcast_to(cc[1], s[j][1].shape)))
-                acc = term if acc is None else gl.add(acc, term)
-            out.append(acc)
-        return out
+        # circulant small-constant MDS (see gl64.mds_circulant)
+        return gl.mds_circulant(s, MDS_ROW0)
 
     for r in range(NUM_ROUNDS):
         state = [gl.exp7(x) for x in state]

@@ -46,6 +46,9 @@ def _jive_sum(initial, final):
     ]
 
 
+MDS8_ROW0 = tuple(MDS8[0])
+
+
 def apply_permutation_limbs(state, xp):
     consts = _limb_consts()
     mds, ark1, ark2 = consts
@@ -55,18 +58,7 @@ def apply_permutation_limbs(state, xp):
         return gl.add(s, (xp.broadcast_to(cc[0], s[0].shape), xp.broadcast_to(cc[1], s[1].shape)))
 
     def apply_mds(s):
-        out = []
-        for i in range(STATE_WIDTH):
-            acc = None
-            for j in range(STATE_WIDTH):
-                c = mds[i][j]
-                cc = (xp.asarray(c[0]), xp.asarray(c[1]))
-                term = gl.mul(
-                    s[j], (xp.broadcast_to(cc[0], s[j][0].shape), xp.broadcast_to(cc[1], s[j][1].shape))
-                )
-                acc = term if acc is None else gl.add(acc, term)
-            out.append(acc)
-        return out
+        return gl.mds_circulant(s, MDS8_ROW0)
 
     for r in range(NUM_ROUNDS):
         state = [gl.exp7(x) for x in state]

@@ -234,6 +234,48 @@ def mul_small(a, k: int):
     return _reduce128(l0, t, h1 + cc, xp.zeros_like(l0), xp)
 
 
+def mds_circulant(state, row0):
+    """Circulant MDS multiply with small constants (Rescue/Griffin matrices
+    have entries < 2^5): out_i = sum_j row0[(j - i) mod W] * s_j.
+
+    This is the TPU counterpart of the reference's frequency-domain MDS
+    (crypto/src/hash/mds/mds_f64_12x12.rs): instead of 144 full Goldilocks
+    multiplies, each term is a 64x5-bit product accumulated WITHOUT modular
+    reduction in a 96-bit (3-limb) accumulator, with one reduction per
+    output.  value bound: W * 31 * (p-1) < 2^73 — fits 3 limbs.
+    """
+    xp = _xp(state[0][0])
+    W = len(state)
+    outs = []
+    for i in range(W):
+        a0 = a1 = a2 = None
+        for j in range(W):
+            c = row0[(j - i) % W]
+            if c == 0:
+                continue
+            slo, shi = state[j]
+            cc = _U32(c)
+            l0, l1a = _mul32(slo, xp.full_like(slo, cc), xp)
+            l1b, l2 = _mul32(shi, xp.full_like(shi, cc), xp)
+            # term = l0 + (l1a + l1b)*2^32 + l2*2^64
+            t1 = l1a + l1b
+            k1 = (t1 < l1a).astype(_U32)
+            t2 = l2 + k1
+            if a0 is None:
+                a0, a1, a2 = l0, t1, t2
+            else:
+                a0n = a0 + l0
+                c0 = (a0n < l0).astype(_U32)
+                a1n = a1 + t1
+                c1 = (a1n < t1).astype(_U32)
+                a1n2 = a1n + c0
+                c1b = (a1n2 < c0).astype(_U32)
+                a2n = a2 + t2 + c1 + c1b
+                a0, a1, a2 = a0n, a1n2, a2n
+        outs.append(_reduce128(a0, a1, a2, xp.zeros_like(a0), xp))
+    return outs
+
+
 def exp_int(a, e: int):
     """Exponentiation by a static python-int exponent.
 
