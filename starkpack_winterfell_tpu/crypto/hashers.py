@@ -39,12 +39,13 @@ class Blake3_256:
         return b3.hash_bytes(seed + (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"))
 
     @classmethod
-    def hash_elements(cls, elements) -> bytes:
+    def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:
         """elements: iterable of ints (base) or tuples (ext components).
         Canonical little-endian bytes, matching hash_elements for
-        non-canonical fields (blake/mod.rs:46-59)."""
+        non-canonical fields (blake/mod.rs:46-59).  ``elem_bytes`` selects
+        the component width (8 for f64/f62, 16 for f128)."""
         w = ByteWriter()
-        w.write_felts(elements)
+        w.write_felts(elements, elem_bytes)
         return cls.hash(w.to_bytes())
 
     # -- device words api ---------------------------------------------------
@@ -148,9 +149,9 @@ class Sha3_256:
         ).digest()
 
     @classmethod
-    def hash_elements(cls, elements) -> bytes:
+    def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:
         w = ByteWriter()
-        w.write_felts(elements)
+        w.write_felts(elements, elem_bytes)
         return cls.hash(w.to_bytes())
 
     @staticmethod

@@ -20,17 +20,24 @@ P = 0xFFFFFFFF00000001
 
 
 class RandomCoin:
-    def __init__(self, hasher, seed_elements):
+    def __init__(self, hasher, seed_elements, field=None):
         """seed_elements: list of ints/tuples — hashed via hash_elements
-        (default.rs:85-88)."""
+        (default.rs:85-88).  ``field``: a FieldSpec (defaults to f64) that
+        sets the per-component byte width and modulus for draws."""
         self.h = hasher
+        if field is None:
+            from ..math.fieldspec import GL64_SPEC as field
+        self.field = field
         self.seed = hasher.hash_elements(seed_elements)
         self.counter = 0
 
     @classmethod
-    def from_digest(cls, hasher, seed_digest: bytes):
+    def from_digest(cls, hasher, seed_digest: bytes, field=None):
         coin = cls.__new__(cls)
         coin.h = hasher
+        if field is None:
+            from ..math.fieldspec import GL64_SPEC as field
+        coin.field = field
         coin.seed = seed_digest
         coin.counter = 0
         return coin
@@ -57,14 +64,18 @@ class RandomCoin:
         return _trailing_zeros(head)
 
     def draw(self, deg: int = 1):
-        """Draw a field element: int for deg 1, tuple for deg 2/3."""
+        """Draw a field element: int for deg 1, tuple for deg 2/3.  Takes the
+        first deg * ELEMENT_BYTES of each PRNG value, rejecting non-canonical
+        components (default.rs:196-210 + TryFrom per field)."""
+        eb = self.field.ELEMENT_BYTES
+        modulus = self.field.P
         for _ in range(1000):
             value = self._next()
             comps = []
             ok = True
             for i in range(deg):
-                v = int.from_bytes(value[i * 8 : (i + 1) * 8], "little")
-                if v >= P:
+                v = int.from_bytes(value[i * eb : (i + 1) * eb], "little")
+                if v >= modulus:
                     ok = False
                     break
                 comps.append(v)

@@ -308,6 +308,90 @@ class LimbField:
         assert 0 < log_n <= self.TWO_ADICITY
         return pow(self.TWO_ADIC_ROOT_OF_UNITY, 1 << (self.TWO_ADICITY - log_n), self.P)
 
+    # -- NTT (generic radix-2 DIT, natural order — same structure as the
+    # -- Goldilocks ops/ntt.py specialization) -------------------------------
+
+    def _stage_twiddles(self, n: int, inverse: bool):
+        key = ("tw", n, inverse)
+        if not hasattr(self, "_tw_cache"):
+            self._tw_cache = {}
+        if key in self._tw_cache:
+            return self._tw_cache[key]
+        bits = n.bit_length() - 1
+        root = self.get_root_of_unity(bits)
+        if inverse:
+            root = pow(root, self.P - 2, self.P)
+        tables = []
+        for s in range(1, bits + 1):
+            m = 1 << s
+            w_m = pow(root, n // m, self.P)
+            half = m // 2
+            vals = []
+            acc = 1
+            for _ in range(half):
+                vals.append(acc)
+                acc = acc * w_m % self.P
+            tables.append(self.from_ints(vals))
+        self._tw_cache[key] = tables
+        return tables
+
+    def _bit_rev(self, n: int):
+        bits = n.bit_length() - 1
+        idx = np.arange(n, dtype=np.int32)
+        rev = np.zeros(n, dtype=np.int32)
+        for b in range(bits):
+            rev |= ((idx >> b) & 1) << (bits - 1 - b)
+        return rev
+
+    def ntt(self, a, inverse: bool = False, scale: bool = True):
+        """Transform along the last axis of a limb tuple (each limb shaped
+        (..., n)); natural order in/out, matching ops/ntt.py semantics."""
+        xp = _xp(a[0])
+        n = a[0].shape[-1]
+        if n == 1:
+            return a
+        bits = n.bit_length() - 1
+        rev = self._bit_rev(n)
+        a = tuple(xp.take(l, rev, axis=-1) for l in a)
+        tables = self._stage_twiddles(n, inverse)
+        for s in range(1, bits + 1):
+            m = 1 << s
+            half = m // 2
+            tw = tuple(xp.asarray(t) for t in tables[s - 1])
+            shp = a[0].shape[:-1] + (n // m, m)
+            y = tuple(l.reshape(shp) for l in a)
+            e = tuple(l[..., :half] for l in y)
+            o = tuple(l[..., half:] for l in y)
+            t = self.mul(o, tw)
+            plus = self.add(e, t)
+            minus = self.sub(e, t)
+            a = tuple(
+                xp.concatenate([p, mi], axis=-1).reshape(a[0].shape)
+                for p, mi in zip(plus, minus)
+            )
+        if inverse and scale:
+            n_inv = self.from_int(pow(n, self.P - 2, self.P))
+            a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
+        return a
+
+    def evaluate_poly_with_offset(self, a, domain_offset: int, blowup: int):
+        """Coset LDE: scale coeffs by offset^j, zero-pad, transform."""
+        xp = _xp(a[0])
+        n = a[0].shape[-1]
+        offs = self.from_ints(
+            [pow(domain_offset, j, self.P) for j in range(n)]
+        )
+        scaled = self.mul(a, tuple(xp.asarray(x) for x in offs))
+        pad_shape = a[0].shape[:-1] + (n * (blowup - 1),)
+        padded = tuple(
+            xp.concatenate([l, xp.zeros(pad_shape, dtype=_U32)], axis=-1)
+            for l in scaled
+        )
+        return self.ntt(padded)
+
+    def interpolate_poly(self, a):
+        return self.ntt(a, inverse=True, scale=True)
+
 
 def _is_static_zero(arr) -> bool:
     """True only for concrete all-zero numpy arrays (safe under tracing)."""

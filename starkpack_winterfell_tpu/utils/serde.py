@@ -32,17 +32,19 @@ class ByteWriter:
     def write_bytes(self, b: bytes):
         self.buf += b
 
-    def write_felt(self, v):
-        """Write a field element given as int (base) or tuple of ints (ext)."""
+    def write_felt(self, v, elem_bytes: int = 8):
+        """Write a field element given as int (base) or tuple of ints (ext);
+        each base component is `elem_bytes` canonical LE bytes (8 for
+        f64/f62, 16 for f128)."""
         if isinstance(v, int):
-            self.write_u64(v)
+            self.buf += int(v).to_bytes(elem_bytes, "little")
         else:
             for c in v:
-                self.write_u64(c)
+                self.buf += int(c).to_bytes(elem_bytes, "little")
 
-    def write_felts(self, vs):
+    def write_felts(self, vs, elem_bytes: int = 8):
         for v in vs:
-            self.write_felt(v)
+            self.write_felt(v, elem_bytes)
 
     def to_bytes(self) -> bytes:
         return bytes(self.buf)
@@ -86,19 +88,19 @@ class SliceReader:
     def read_bytes(self, n: int) -> bytes:
         return self._take(n)
 
-    def read_felt(self, deg: int = 1):
+    def read_felt(self, deg: int = 1, modulus: int = P, elem_bytes: int = 8):
         """Read a field element; returns int (deg 1) or tuple (deg 2/3).
         Validates canonicity like f64/mod.rs Deserializable (value < M)."""
         comps = []
         for _ in range(deg):
-            v = self.read_u64()
-            if v >= P:
+            v = int.from_bytes(self._take(elem_bytes), "little")
+            if v >= modulus:
                 raise ValueError(f"invalid field element {v} >= modulus")
             comps.append(v)
         return comps[0] if deg == 1 else tuple(comps)
 
-    def read_felts(self, n: int, deg: int = 1):
-        return [self.read_felt(deg) for _ in range(n)]
+    def read_felts(self, n: int, deg: int = 1, modulus: int = P, elem_bytes: int = 8):
+        return [self.read_felt(deg, modulus, elem_bytes) for _ in range(n)]
 
     def has_more(self) -> bool:
         return self.pos < len(self.data)
