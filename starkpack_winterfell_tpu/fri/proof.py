@@ -1,8 +1,17 @@
-"""FriProof / FriProofLayer — equivalent of fri/src/proof.rs."""
+"""FriProof / FriProofLayer — equivalent of fri/src/proof.rs.
+
+Field-parameterized: pass a FieldSpec to use f62/f128 element widths; the
+default is the f64 Goldilocks layout."""
 
 from __future__ import annotations
 
 from ..utils.serde import ByteWriter, SliceReader
+
+
+def _field(field):
+    if field is None:
+        from ..math.fieldspec import GL64_SPEC as field
+    return field
 
 
 class FriProofLayer:
@@ -13,19 +22,22 @@ class FriProofLayer:
         self.paths = paths
 
     @classmethod
-    def new(cls, query_values, merkle_proof, ext_deg: int) -> "FriProofLayer":
+    def new(cls, query_values, merkle_proof, ext_deg: int, field=None) -> "FriProofLayer":
         """query_values: list (per folded position) of N-element rows."""
+        field = _field(field)
         assert query_values
         w = ByteWriter()
         for row in query_values:
-            w.write_felts(row)
+            w.write_felts(row, field.ELEMENT_BYTES)
         return cls(w.to_bytes(), merkle_proof.serialize_nodes())
 
-    def parse(self, hasher, domain_size: int, folding_factor: int, ext_deg: int):
+    def parse(self, hasher, domain_size: int, folding_factor: int, ext_deg: int,
+              field=None):
         """proof.rs:281-334 — returns (flat query values, BatchMerkleProof)."""
         from ..crypto.merkle import BatchMerkleProof
 
-        elem_bytes = 8 * ext_deg
+        field = _field(field)
+        elem_bytes = field.ELEMENT_BYTES * ext_deg
         num_query_bytes = elem_bytes * folding_factor
         if len(self.values) % num_query_bytes != 0:
             raise ValueError("invalid FRI layer value byte count")
@@ -33,10 +45,18 @@ class FriProofLayer:
         if num_queries == 0:
             raise ValueError("a FRI layer must contain at least one query")
         r = SliceReader(self.values)
-        rows = [r.read_felts(folding_factor, ext_deg) for _ in range(num_queries)]
-        from ..utils.convert import hash_element_rows
+        rows = [
+            r.read_felts(folding_factor, ext_deg, field.P, field.ELEMENT_BYTES)
+            for _ in range(num_queries)
+        ]
+        if field.ELEMENT_BYTES == 8:
+            from ..utils.convert import hash_element_rows
 
-        hashed = hash_element_rows(hasher, rows, ext_deg)
+            hashed = hash_element_rows(hasher, rows, ext_deg)
+        else:
+            hashed = [
+                hasher.hash_elements(row, field.ELEMENT_BYTES) for row in rows
+            ]
         query_values = [e for row in rows for e in row]
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
@@ -71,13 +91,14 @@ class FriProof:
         self.num_partitions_log = num_partitions_log
 
     @classmethod
-    def new(cls, layers, remainder_elements, num_partitions: int) -> "FriProof":
+    def new(cls, layers, remainder_elements, num_partitions: int, field=None) -> "FriProof":
+        field = _field(field)
         assert remainder_elements
         n = len(remainder_elements)
         assert n & (n - 1) == 0, "remainder size must be a power of two"
         assert num_partitions > 0 and num_partitions & (num_partitions - 1) == 0
         w = ByteWriter()
-        w.write_felts(remainder_elements)
+        w.write_felts(remainder_elements, field.ELEMENT_BYTES)
         return cls(layers, w.to_bytes(), (num_partitions.bit_length() - 1))
 
     def num_layers(self) -> int:
@@ -86,25 +107,28 @@ class FriProof:
     def num_partitions(self) -> int:
         return 1 << self.num_partitions_log
 
-    def num_remainder_elements(self, ext_deg: int) -> int:
-        return len(self.remainder) // (8 * ext_deg)
+    def num_remainder_elements(self, ext_deg: int, field=None) -> int:
+        field = _field(field)
+        return len(self.remainder) // (field.ELEMENT_BYTES * ext_deg)
 
-    def parse_remainder(self, ext_deg: int):
-        n = self.num_remainder_elements(ext_deg)
+    def parse_remainder(self, ext_deg: int, field=None):
+        field = _field(field)
+        n = self.num_remainder_elements(ext_deg, field)
         if n & (n - 1) != 0:
             raise ValueError("number of remainder values must be a power of two")
         r = SliceReader(self.remainder)
-        out = r.read_felts(n, ext_deg)
+        out = r.read_felts(n, ext_deg, field.P, field.ELEMENT_BYTES)
         if r.has_more():
             raise ValueError("unconsumed remainder bytes")
         return out
 
-    def parse_layers(self, hasher, domain_size: int, folding_factor: int, ext_deg: int):
+    def parse_layers(self, hasher, domain_size: int, folding_factor: int, ext_deg: int,
+                     field=None):
         layer_queries = []
         layer_proofs = []
         for layer in self.layers:
             domain_size //= folding_factor
-            qv, mp = layer.parse(hasher, domain_size, folding_factor, ext_deg)
+            qv, mp = layer.parse(hasher, domain_size, folding_factor, ext_deg, field)
             layer_queries.append(qv)
             layer_proofs.append(mp)
         return layer_queries, layer_proofs

@@ -141,6 +141,82 @@ def apply_drp_limbs(transposed, domain_offset: int, alpha_l, ext_deg: int):
     return vec.horner(coeffs, x, axis=-1)
 
 
+class LimbFriProver:
+    """FRI prover over a generic LimbField (f62/f128) for base-field
+    evaluations — the multi-field counterpart of FriProver (which is
+    specialized to the Goldilocks limb ops)."""
+
+    def __init__(self, options, hasher, limb_field, spec):
+        self.options = options
+        self.hasher = hasher
+        self.F = limb_field
+        self.spec = spec
+        self.layers = []
+        self.remainder_poly = None
+
+    def build_layers(self, channel, evaluations):
+        """evaluations: limb tuple shaped (L,)."""
+        assert not self.layers
+        n_layers = self.options.num_fri_layers(evaluations[0].shape[-1])
+        for _ in range(n_layers):
+            evaluations = self._build_layer(channel, evaluations)
+        self._set_remainder(channel, evaluations)
+
+    def _build_layer(self, channel, evaluations):
+        import numpy as _np
+
+        from ..crypto.merkle import MerkleTree, build_levels
+
+        F, spec = self.F, self.spec
+        N = self.options.folding_factor
+        L = evaluations[0].shape[-1]
+        m = L // N
+        transposed = tuple(l.reshape(N, m).T for l in evaluations)  # (m, N) limbs
+        # words: per element, its limbs in LE order -> (m, N * n_limbs)
+        xp = _np
+        words = _np.stack(transposed, axis=-1).reshape(m, N * F.n)
+        leaves = self.hasher.hash_words(words, N * F.n * 4)
+        tree = MerkleTree(build_levels(_np.asarray(leaves), self.hasher), self.hasher)
+        channel.commit_fri_layer(tree.root())
+        alpha = channel.draw_fri_alpha()
+        folded = F.apply_drp(transposed, spec.GENERATOR, alpha)
+        self.layers.append((transposed, tree, m, N))
+        return folded
+
+    def _set_remainder(self, channel, evaluations):
+        F, spec = self.F, self.spec
+        coeffs = F.interpolate_poly_with_offset(evaluations, spec.GENERATOR)
+        size = evaluations[0].shape[-1] // self.options.blowup_factor
+        remainder = F.to_ints(tuple(l[:size] for l in coeffs))
+        channel.commit_fri_layer(
+            self.hasher.hash_elements(remainder, spec.ELEMENT_BYTES)
+        )
+        self.remainder_poly = remainder
+
+    def build_proof(self, positions):
+        from .proof import FriProof, FriProofLayer
+
+        assert self.remainder_poly is not None
+        F, spec = self.F, self.spec
+        proof_layers = []
+        pos = list(positions)
+        if self.layers:
+            domain_size = self.layers[0][2] * self.layers[0][3]
+            N = self.options.folding_factor
+            for transposed, tree, m, _ in self.layers:
+                pos = fold_positions(pos, domain_size, N)
+                mp = tree.prove_batch(pos)
+                rows = []
+                for p in pos:
+                    rows.append(F.to_ints(tuple(l[p] for l in transposed)))
+                proof_layers.append(FriProofLayer.new(rows, mp, 1, spec))
+                domain_size //= N
+        remainder = self.remainder_poly
+        self.layers = []
+        self.remainder_poly = None
+        return FriProof.new(proof_layers, remainder, 1, spec)
+
+
 def fold_positions(positions, source_domain_size: int, folding_factor: int):
     """fri/src/folding/mod.rs:158-175 — mod + dedup preserving order."""
     target = source_domain_size // folding_factor

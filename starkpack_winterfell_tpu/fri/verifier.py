@@ -7,20 +7,28 @@ from ..math import polynom, scalar as fs
 from .prover import fold_positions
 
 
+def _spec(field):
+    if field is None:
+        from ..math.fieldspec import GL64_SPEC as field
+    return field
+
+
 class VerifierChannelFri:
     """Default verifier channel semantics (fri/src/verifier/channel.rs):
     parses layer queries, batch-verifies Merkle openings lazily, checks the
     remainder hash against the last commitment."""
 
     def __init__(self, fri_proof, layer_commitments, hasher, domain_size: int,
-                 folding_factor: int, ext_deg: int):
+                 folding_factor: int, ext_deg: int, field=None):
+        field = _spec(field)
+        self.field = field
         layer_queries, layer_proofs = fri_proof.parse_layers(
-            hasher, domain_size, folding_factor, ext_deg
+            hasher, domain_size, folding_factor, ext_deg, field
         )
         self.layer_commitments = layer_commitments
         self.layer_queries = layer_queries
         self.layer_proofs = layer_proofs
-        self.remainder = fri_proof.parse_remainder(ext_deg)
+        self.remainder = fri_proof.parse_remainder(ext_deg, field)
         self.num_partitions = fri_proof.num_partitions()
         self.hasher = hasher
         self.folding_factor = folding_factor
@@ -46,7 +54,7 @@ class VerifierChannelFri:
 
     def read_remainder(self):
         commitment = self.layer_commitments[-1]
-        if self.hasher.hash_elements(self.remainder) != commitment:
+        if self.hasher.hash_elements(self.remainder, self.field.ELEMENT_BYTES) != commitment:
             raise FriVerificationError("remainder commitment mismatch")
         return self.remainder
 
@@ -57,14 +65,15 @@ class FriVerificationError(Exception):
 
 class FriVerifier:
     def __init__(self, channel, public_coin, options, max_poly_degree: int,
-                 ext_deg: int):
+                 ext_deg: int, field=None):
         """Reads layer commitments, reseeds, draws alphas
         (fri/src/verifier/mod.rs:102-148)."""
+        self.field = _spec(field)
         self.options = options
         self.max_poly_degree = max_poly_degree
         self.ext_deg = ext_deg
         self.domain_size = _next_pow2(max_poly_degree) * options.blowup_factor
-        self.domain_generator = fs.get_root_of_unity(self.domain_size.bit_length() - 1)
+        self.domain_generator = self.field.get_root_of_unity(self.domain_size.bit_length() - 1)
         self.num_partitions = channel.read_fri_num_partitions()
 
         self.layer_commitments = channel.read_fri_layer_commitments()
@@ -85,9 +94,10 @@ class FriVerifier:
         """fri/src/verifier/mod.rs:204-330."""
         if len(evaluations) != len(positions):
             raise FriVerificationError("position/evaluation count mismatch")
+        P = self.field.P
         N = self.options.folding_factor
         folding_roots = [
-            pow(self.domain_generator, self.domain_size // N * i, fs.P) for i in range(N)
+            pow(self.domain_generator, self.domain_size // N * i, P) for i in range(N)
         ]
 
         domain_generator = self.domain_generator
@@ -107,17 +117,19 @@ class FriVerifier:
             if evaluations != query_values:
                 raise FriVerificationError(f"invalid layer folding at depth {depth}")
 
+            offs = self.field.GENERATOR
             xs_rows = []
             for i in folded_positions:
-                xe = pow(domain_generator, i, fs.P) * self.options.domain_offset() % fs.P
-                xs_rows.append([xe * r % fs.P for r in folding_roots])
-            row_polys = polynom.interpolate_batch(xs_rows, layer_values)
+                xe = pow(domain_generator, i, P) * offs % P
+                xs_rows.append([xe * r % P for r in folding_roots])
+            spec = self.field if self.field.name != "f64" else None
+            row_polys = polynom.interpolate_batch(xs_rows, layer_values, spec)
             alpha = self.layer_alphas[depth]
-            evaluations = [polynom.eval_at(p, alpha) for p in row_polys]
+            evaluations = [polynom.eval_at(p, alpha, spec) for p in row_polys]
 
             if max_degree_plus_1 % N != 0:
                 raise FriVerificationError("degree truncation")
-            domain_generator = pow(domain_generator, N, fs.P)
+            domain_generator = pow(domain_generator, N, P)
             max_degree_plus_1 //= N
             domain_size //= N
             positions = folded_positions
@@ -125,10 +137,11 @@ class FriVerifier:
         remainder_poly = channel.read_remainder()
         if len(remainder_poly) > max_degree_plus_1:
             raise FriVerificationError("remainder degree mismatch")
-        offset = self.options.domain_offset()
+        offset = self.field.GENERATOR
+        spec = self.field if self.field.name != "f64" else None
         for position, evaluation in zip(positions, evaluations):
-            x = offset * pow(domain_generator, position, fs.P) % fs.P
-            if polynom.eval_at(remainder_poly, x) != evaluation:
+            x = offset * pow(domain_generator, position, P) % P
+            if polynom.eval_at(remainder_poly, x, spec) != evaluation:
                 raise FriVerificationError("invalid remainder folding")
 
 

@@ -10,23 +10,34 @@ from __future__ import annotations
 from .scalar import P, fadd, fdiv, finv, fmul, fneg, fsub, is_zero, mul_base, zero
 
 
-def eval_at(p, x):
+def _ops(spec):
+    """Scalar-op bundle: the f64 module by default, or a FieldSpec."""
+    if spec is None:
+        from . import scalar as fs
+
+        return fs
+    return spec
+
+
+def eval_at(p, x, spec=None):
     """Horner evaluation (polynom/mod.rs:53).  Coefficients may be of lower
     degree than x (e.g. base poly at extension point)."""
+    o = _ops(spec)
     acc = 0
     for c in reversed(p):
-        acc = fadd(fmul(acc, x), c)
+        acc = o.fadd(o.fmul(acc, x), c)
     return acc
 
 
-def eval_many(p, xs):
-    return [eval_at(p, x) for x in xs]
+def eval_many(p, xs, spec=None):
+    return [eval_at(p, x, spec) for x in xs]
 
 
-def interpolate(xs, ys):
+def interpolate(xs, ys, spec=None):
     """Lagrange interpolation (polynom/mod.rs:112) — O(n^2), used for tiny n."""
+    o = _ops(spec)
     n = len(xs)
-    result = [zero() for _ in range(n)]
+    result = [0 for _ in range(n)]
     for i in range(n):
         # numerator poly prod_{j != i} (x - x_j)
         num = [1]
@@ -34,24 +45,24 @@ def interpolate(xs, ys):
             if j == i:
                 continue
             # num *= (x - xs[j])
-            new = [zero() for _ in range(len(num) + 1)]
+            new = [0 for _ in range(len(num) + 1)]
             for k, c in enumerate(num):
-                new[k + 1] = fadd(new[k + 1], c)
-                new[k] = fsub(new[k], fmul(c, xs[j]))
+                new[k + 1] = o.fadd(new[k + 1], c)
+                new[k] = o.fsub(new[k], o.fmul(c, xs[j]))
             num = new
         denom = 1
         for j in range(n):
             if j != i:
-                denom = fmul(denom, fsub(xs[i], xs[j]))
-        scale = fmul(ys[i], finv(denom))
+                denom = o.fmul(denom, o.fsub(xs[i], xs[j]))
+        scale = o.fmul(ys[i], o.finv(denom))
         for k in range(len(num)):
-            result[k] = fadd(result[k], fmul(num[k], scale))
+            result[k] = o.fadd(result[k], o.fmul(num[k], scale))
     return result
 
 
-def interpolate_batch(xs_rows, ys_rows):
+def interpolate_batch(xs_rows, ys_rows, spec=None):
     """polynom/mod.rs:179 — interpolate many small (x, y) row sets."""
-    return [interpolate(xs, ys) for xs, ys in zip(xs_rows, ys_rows)]
+    return [interpolate(xs, ys, spec) for xs, ys in zip(xs_rows, ys_rows)]
 
 
 def degree_of(p) -> int:

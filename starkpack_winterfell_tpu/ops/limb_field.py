@@ -392,6 +392,45 @@ class LimbField:
     def interpolate_poly(self, a):
         return self.ntt(a, inverse=True, scale=True)
 
+    def interpolate_poly_with_offset(self, a, domain_offset: int):
+        xp = _xp(a[0])
+        n = a[0].shape[-1]
+        coeffs = self.ntt(a, inverse=True, scale=True)
+        inv_off = pow(domain_offset, self.P - 2, self.P)
+        offs = self.from_ints([pow(inv_off, j, self.P) for j in range(n)])
+        return self.mul(coeffs, tuple(xp.asarray(x) for x in offs))
+
+    def horner(self, coeffs, x):
+        """Evaluate along the last axis at point-array x (shape = remaining
+        axes)."""
+        n = coeffs[0].shape[-1]
+        acc = tuple(l[..., n - 1] for l in coeffs)
+        for j in range(n - 2, -1, -1):
+            term = tuple(l[..., j] for l in coeffs)
+            acc = self.add(self.mul(acc, x), term)
+        return acc
+
+    def apply_drp(self, transposed, domain_offset: int, alpha: int):
+        """FRI degree-respecting projection over this field (base-field
+        evaluations; semantics of fri/src/folding/mod.rs:85-117): transposed
+        shape (m, N); returns folded evaluations (m,)."""
+        xp = _xp(transposed[0])
+        m, N = transposed[0].shape
+        coeffs = self.ntt(transposed, inverse=True, scale=True)
+        src_size = m * N
+        g = self.get_root_of_unity(src_size.bit_length() - 1)
+        inv_g = pow(g, self.P - 2, self.P)
+        inv_c = pow(domain_offset, self.P - 2, self.P)
+        inv_offs = self.from_ints(
+            [inv_c * pow(inv_g, i, self.P) % self.P for i in range(m)]
+        )
+        alpha_l = self.from_int(alpha % self.P, ())
+        x = self.mul(
+            tuple(xp.asarray(o) for o in inv_offs),
+            tuple(xp.asarray(al) for al in alpha_l),
+        )
+        return self.horner(coeffs, x)
+
 
 def _is_static_zero(arr) -> bool:
     """True only for concrete all-zero numpy arrays (safe under tracing)."""

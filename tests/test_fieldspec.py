@@ -134,3 +134,76 @@ def test_serde_f128_roundtrip():
     got = r.read_felts(5, modulus=F128_SPEC.P, elem_bytes=16)
     assert got == vals
     assert not r.has_more()
+
+
+@pytest.mark.parametrize("F,spec", [(F62, F62_SPEC), (F128, F128_SPEC)],
+                         ids=["f62", "f128"])
+def test_fri_prove_verify_multifield(F, spec):
+    """Standalone FRI over f62/f128: prove -> serialize -> verify (the
+    multi-field counterpart of tests/test_fri.py)."""
+    from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+    from starkpack_winterfell_tpu.crypto.random_coin import RandomCoin
+    from starkpack_winterfell_tpu.fri import FriOptions, FriVerifier, VerifierChannelFri
+    from starkpack_winterfell_tpu.fri.prover import LimbFriProver
+    from starkpack_winterfell_tpu.fri.proof import FriProof
+    from starkpack_winterfell_tpu.utils.serde import ByteWriter, SliceReader
+
+    trace_length = 64
+    blowup = 4
+    folding = 4
+    options = FriOptions(blowup, folding, 7)
+    domain_size = trace_length * blowup
+    num_queries = 16
+
+    coeffs = [rand_elem(spec, 1) for _ in range(trace_length)]
+    evals = F.evaluate_poly_with_offset(F.from_ints(coeffs), spec.GENERATOR, blowup)
+
+    class Channel:
+        def __init__(self):
+            self.coin = RandomCoin(Sha3_256, [], field=spec)
+            self.commitments = []
+
+        def commit_fri_layer(self, root):
+            self.commitments.append(root)
+            self.coin.reseed(root)
+
+        def draw_fri_alpha(self):
+            return self.coin.draw()
+
+    channel = Channel()
+    prover = LimbFriProver(options, Sha3_256, F, spec)
+    prover.build_layers(channel, evals)
+    positions = channel.coin.draw_integers(num_queries, domain_size)
+    proof = prover.build_proof(positions)
+
+    # serialization round trip
+    w = ByteWriter()
+    proof.write_into(w)
+    proof2 = FriProof.read_from(SliceReader(w.to_bytes()))
+
+    queried = [F.to_ints(tuple(np.atleast_1d(l[p]) for l in evals))[0] for p in positions]
+
+    vcoin = RandomCoin(Sha3_256, [], field=spec)
+    vchannel = VerifierChannelFri(
+        proof2, channel.commitments, Sha3_256, domain_size, folding, 1, field=spec
+    )
+    verifier = FriVerifier(vchannel, vcoin, options, trace_length - 1, 1, field=spec)
+    verifier.verify(vchannel, queried, positions)
+
+    # tampering must be caught
+    bad = list(queried)
+    bad[0] = (bad[0] + 1) % spec.P
+    vchannel2 = VerifierChannelFri(
+        proof2, channel.commitments, Sha3_256, domain_size, folding, 1, field=spec
+    )
+    from starkpack_winterfell_tpu.fri import FriVerificationError
+
+    verifier2 = FriVerifier(
+        VerifierChannelFri(proof2, channel.commitments, Sha3_256, domain_size, folding, 1, field=spec),
+        RandomCoin(Sha3_256, [], field=spec), options, trace_length - 1, 1, field=spec,
+    )
+    with pytest.raises(FriVerificationError):
+        verifier2.verify(
+            VerifierChannelFri(proof2, channel.commitments, Sha3_256, domain_size, folding, 1, field=spec),
+            bad, positions,
+        )
