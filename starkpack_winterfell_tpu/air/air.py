@@ -26,6 +26,7 @@ class AirContext:
         options: ProofOptions,
         aux_transition_constraint_degrees=(),
         num_aux_assertions: int = 0,
+        field=None,
     ):
         assert len(transition_constraint_degrees) > 0
         assert num_assertions > 0
@@ -45,6 +46,9 @@ class AirContext:
             f"blowup factor too small; expected at least {ce_blowup_factor}"
         )
 
+        if field is None:
+            from ..math.fieldspec import GL64_SPEC as field
+        self.field = field
         self.options = options
         self.trace_info = trace_info
         self.main_transition_constraint_degrees = list(transition_constraint_degrees)
@@ -53,8 +57,10 @@ class AirContext:
         self.num_aux_assertions = num_aux_assertions
         self.ce_blowup_factor = ce_blowup_factor
         trace_length = trace_info.length
-        self.trace_domain_generator = fs.get_root_of_unity(trace_length.bit_length() - 1)
-        self.lde_domain_generator = fs.get_root_of_unity(
+        self.trace_domain_generator = self.field.get_root_of_unity(
+            trace_length.bit_length() - 1
+        )
+        self.lde_domain_generator = self.field.get_root_of_unity(
             (trace_length * options.blowup_factor).bit_length() - 1
         )
         self.num_transition_exemptions = 1
@@ -141,7 +147,10 @@ class Air:
         """Interpolate each periodic column into coefficient form."""
         from .boundary import _interpolate_subgroup
 
-        return [_interpolate_subgroup(col) for col in self.get_periodic_column_values()]
+        return [
+            _interpolate_subgroup(col, self.context.field)
+            for col in self.get_periodic_column_values()
+        ]
 
     def trace_info(self) -> TraceInfo:
         return self.context.trace_info
@@ -168,7 +177,10 @@ class Air:
         return self.context.lde_domain_generator
 
     def domain_offset(self) -> int:
-        return self.context.options.domain_offset()
+        return self.context.options.domain_offset(self.context.field)
+
+    def field_spec(self):
+        return self.context.field
 
     def trace_poly_degree(self) -> int:
         return self.context.trace_poly_degree()

@@ -14,27 +14,32 @@ from .divisors import ConstraintDivisor
 class BoundaryConstraint:
     """boundary/constraint.rs:31 — single-column constraint with value poly."""
 
-    def __init__(self, assertion, inv_g: int, composition_coefficient):
+    def __init__(self, assertion, inv_g: int, composition_coefficient, field=None):
+        if field is None:
+            from ..math.fieldspec import GL64_SPEC as field
+        self.field = field
         self.column = assertion.column
         poly = list(assertion.values)
         self.poly_offset = (0, 1)
         if len(poly) > 1:
             # interpolate the sequence values over a subgroup of size len
-            poly = _interpolate_subgroup(poly)
+            poly = _interpolate_subgroup(poly, field)
             if assertion.first_step != 0:
-                x_offset = pow(inv_g, assertion.first_step, fs.P)
+                x_offset = pow(inv_g, assertion.first_step, field.P)
                 self.poly_offset = (assertion.first_step, x_offset)
         self.poly = poly
         self.cc = composition_coefficient
 
     def evaluate_at(self, x, trace_value):
         """constraint.rs:104-112 — host scalar."""
+        o = self.field
         if len(self.poly) == 1:
             assertion_value = self.poly[0]
         else:
-            xx = fs.fmul(x, self.poly_offset[1])
-            assertion_value = polynom.eval_at(self.poly, xx)
-        return fs.fsub(trace_value, assertion_value)
+            xx = o.fmul(x, self.poly_offset[1])
+            spec = None if o.name == "f64" else o
+            assertion_value = polynom.eval_at(self.poly, xx, spec)
+        return o.fsub(trace_value, assertion_value)
 
 
 class BoundaryConstraintGroup:
@@ -44,16 +49,17 @@ class BoundaryConstraintGroup:
         self.divisor = divisor
         self.constraints = []
 
-    def add(self, assertion, inv_g, cc):
-        self.constraints.append(BoundaryConstraint(assertion, inv_g, cc))
+    def add(self, assertion, inv_g, cc, field=None):
+        self.constraints.append(BoundaryConstraint(assertion, inv_g, cc, field))
 
     def evaluate_at(self, state, x):
         """constraint_group.rs evaluate_at — host scalar (verifier)."""
-        numerator = fs.zero()
+        o = self.divisor.field
+        numerator = o.zero()
         for c in self.constraints:
             evaluation = c.evaluate_at(x, state[c.column])
-            numerator = fs.fadd(numerator, fs.fmul(evaluation, c.cc))
-        return fs.fdiv(numerator, self.divisor.evaluate_at(x))
+            numerator = o.fadd(numerator, o.fmul(evaluation, c.cc))
+        return o.fdiv(numerator, self.divisor.evaluate_at(x))
 
 
 class BoundaryConstraints:
@@ -72,7 +78,7 @@ class BoundaryConstraints:
         aux_sorted = _prepare_assertions(aux_assertions, aux_width, trace_length)
 
         inv_g = pow(
-            context.trace_domain_generator, fs.P - 2, fs.P
+            context.trace_domain_generator, context.field.P - 2, context.field.P
         )
 
         main_ccs = composition_coefficients[: len(main_sorted)]
@@ -103,36 +109,25 @@ def _group_constraints(assertions, context, ccs, inv_g):
         key = (assertion.stride, assertion.first_step)
         if key not in groups:
             groups[key] = BoundaryConstraintGroup(
-                ConstraintDivisor.from_assertion(assertion, context.trace_len())
+                ConstraintDivisor.from_assertion(
+                    assertion, context.trace_len(), context.field
+                )
             )
             order.append(key)
-        groups[key].add(assertion, inv_g, cc)
+        groups[key].add(assertion, inv_g, cc, context.field)
     # BTreeMap iteration order = sorted by key
     return [groups[k] for k in sorted(groups.keys())]
 
 
-def _interpolate_subgroup(values):
+def _interpolate_subgroup(values, field=None):
     """iFFT interpolation of sequence assertion values over the subgroup of
     size len(values) (constraint.rs:34-38)."""
-    import numpy as np
+    from ..ops.backend import get_backend
 
-    from ..ops import gl64 as gl, ntt
-
-    n = len(values)
-    if all(isinstance(v, int) for v in values):
-        arr = gl.from_u64(np.array(values, dtype=np.uint64))
-        coeffs = ntt.interpolate_poly((arr,))
-        return [int(v) for v in gl.to_u64(coeffs[0])]
-    # extension-valued sequence (aux assertions): per-component interpolation
-    deg = fs.deg_of(values[0])
-    comps = []
-    for c in range(deg):
-        arr = gl.from_u64(
-            np.array([fs.components(fs.embed(v, deg))[c] for v in values], dtype=np.uint64)
-        )
-        comps.append(arr)
-    coeffs = ntt.interpolate_poly(tuple(comps))
-    out = []
-    for i in range(n):
-        out.append(tuple(int(gl.to_u64(coeffs[c])[i]) for c in range(deg)))
-    return out
+    if field is None:
+        from ..math.fieldspec import GL64_SPEC as field
+    B = get_backend(field.name)
+    deg = field.deg_of(values[0])
+    limbs = B.elems_to_limbs(values, deg)
+    coeffs = B.interpolate_poly(limbs)
+    return B.limbs_to_elems(coeffs, deg)

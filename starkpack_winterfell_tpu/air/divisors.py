@@ -9,45 +9,56 @@ from __future__ import annotations
 from ..math import scalar as fs
 
 
+def _spec(field):
+    if field is None:
+        from ..math.fieldspec import GL64_SPEC as field
+    return field
+
+
 class ConstraintDivisor:
-    def __init__(self, numerator, exemptions):
+    def __init__(self, numerator, exemptions, field=None):
         self.numerator = list(numerator)  # [(degree, constant int)]
         self.exemptions = list(exemptions)  # [int]
+        self.field = _spec(field)
 
     @classmethod
-    def from_transition(cls, trace_length: int, num_exemptions: int) -> "ConstraintDivisor":
+    def from_transition(cls, trace_length: int, num_exemptions: int,
+                        field=None) -> "ConstraintDivisor":
         """z(x) = (x^n - 1) / prod_{i} (x - g^{n-i}) (divisor.rs:56-65)."""
         assert num_exemptions > 0
         exemptions = [
-            _trace_domain_value_at(trace_length, step)
+            _trace_domain_value_at(trace_length, step, field)
             for step in range(trace_length - num_exemptions, trace_length)
         ]
-        return cls([(trace_length, 1)], exemptions)
+        return cls([(trace_length, 1)], exemptions, field)
 
     @classmethod
-    def from_assertion(cls, assertion, trace_length: int) -> "ConstraintDivisor":
+    def from_assertion(cls, assertion, trace_length: int,
+                       field=None) -> "ConstraintDivisor":
         """z(x) = x^k - g^{a*k} (divisor.rs:90-102)."""
         num_steps = assertion.get_num_steps(trace_length)
         if assertion.first_step == 0:
-            return cls([(num_steps, 1)], [])
+            return cls([(num_steps, 1)], [], field)
         trace_offset = num_steps * assertion.first_step
-        offset = _trace_domain_value_at(trace_length, trace_offset)
-        return cls([(num_steps, offset)], [])
+        offset = _trace_domain_value_at(trace_length, trace_offset, field)
+        return cls([(num_steps, offset)], [], field)
 
     def degree(self) -> int:
         return sum(d for d, _ in self.numerator) - len(self.exemptions)
 
     def evaluate_at(self, x):
-        num = fs.one(fs.deg_of(x)) if not isinstance(x, int) else 1
+        o = self.field
+        num = o.one(o.deg_of(x)) if not isinstance(x, int) else 1
         for degree, constant in self.numerator:
-            num = fs.fmul(num, fs.fsub(fs.fexp(x, degree), constant))
+            num = o.fmul(num, o.fsub(o.fexp(x, degree), constant))
         den = self.evaluate_exemptions_at(x)
-        return fs.fdiv(num, den)
+        return o.fdiv(num, den)
 
     def evaluate_exemptions_at(self, x):
-        result = fs.one(fs.deg_of(x)) if not isinstance(x, int) else 1
+        o = self.field
+        result = o.one(o.deg_of(x)) if not isinstance(x, int) else 1
         for e in self.exemptions:
-            result = fs.fmul(result, fs.fsub(x, e))
+            result = o.fmul(result, o.fsub(x, e))
         return result
 
     def __eq__(self, other):
@@ -58,6 +69,7 @@ class ConstraintDivisor:
         )
 
 
-def _trace_domain_value_at(trace_length: int, step: int) -> int:
-    g = fs.get_root_of_unity(trace_length.bit_length() - 1)
-    return pow(g, step, fs.P)
+def _trace_domain_value_at(trace_length: int, step: int, field=None) -> int:
+    o = _spec(field)
+    g = o.get_root_of_unity(trace_length.bit_length() - 1)
+    return pow(g, step, o.P)

@@ -48,9 +48,11 @@ class ProofOptions:
     def extension_degree(self) -> int:
         return self.field_extension
 
-    def domain_offset(self) -> int:
-        """Hard-coded to the field's primitive element (options.rs:199-201)."""
-        return 7  # GENERATOR of f64
+    def domain_offset(self, field=None) -> int:
+        """The field's primitive element (options.rs:199-201)."""
+        if field is None:
+            return 7  # GENERATOR of f64
+        return field.GENERATOR
 
     def to_fri_options(self):
         from ..fri.options import FriOptions

@@ -14,6 +14,12 @@ from .trace_info import TraceInfo, TraceLayout
 MODULUS_BYTES = (0xFFFFFFFF00000001).to_bytes(8, "little")
 
 
+def _field(field):
+    if field is None:
+        from ..math.fieldspec import GL64_SPEC as field
+    return field
+
+
 class Context:
     """air/src/proof/context.rs:17."""
 
@@ -26,9 +32,10 @@ class Context:
         self.options = options
 
     @classmethod
-    def new(cls, trace_info: TraceInfo, options: ProofOptions) -> "Context":
+    def new(cls, trace_info: TraceInfo, options: ProofOptions, field=None) -> "Context":
         return cls(
-            trace_info.layout, trace_info.length, trace_info.meta, MODULUS_BYTES, options
+            trace_info.layout, trace_info.length, trace_info.meta,
+            _field(field).get_modulus_le_bytes(), options,
         )
 
     def get_trace_info(self) -> TraceInfo:
@@ -54,8 +61,9 @@ class Context:
         result.extend(self.options.to_elements())
         result.append(self.trace_length)
         if self.trace_meta:
-            for i in range(0, len(self.trace_meta), 7):  # ELEMENT_BYTES - 1
-                result.append(_bytes_to_element(self.trace_meta[i : i + 7]))
+            chunk = len(self.field_modulus_bytes) - 1  # ELEMENT_BYTES - 1
+            for i in range(0, len(self.trace_meta), chunk):
+                result.append(_bytes_to_element(self.trace_meta[i : i + chunk]))
         return result
 
     def write_into(self, w: ByteWriter):
@@ -96,8 +104,10 @@ class Context:
 
 
 def _bytes_to_element(b: bytes) -> int:
-    assert len(b) < 8
-    return int.from_bytes(b + b"\x00" * (8 - len(b)), "little")
+    """Interpret bytes as a LE integer; always fits the field since callers
+    pass at most ELEMENT_BYTES/2 (modulus halves) or ELEMENT_BYTES-1 bytes
+    (context.rs:117-131)."""
+    return int.from_bytes(b, "little")
 
 
 class Commitments:
@@ -160,33 +170,38 @@ class Queries:
         self.values = values
 
     @classmethod
-    def new(cls, merkle_proof, query_values, ext_deg: int) -> "Queries":
+    def new(cls, merkle_proof, query_values, ext_deg: int, field=None) -> "Queries":
         """query_values: list (per query) of lists of elements."""
         assert query_values, "query values cannot be empty"
         epq = len(query_values[0])
         assert epq > 0
+        eb = _field(field).ELEMENT_BYTES
         w = ByteWriter()
         for elements in query_values:
             assert len(elements) == epq
-            w.write_felts(elements)
+            w.write_felts(elements, eb)
         return cls(merkle_proof.serialize_nodes(), w.to_bytes())
 
     def parse(self, hasher, domain_size: int, num_queries: int, values_per_query: int,
-              ext_deg: int):
+              ext_deg: int, field=None):
         from ..crypto.merkle import BatchMerkleProof
 
-        elem_bytes = 8 * ext_deg
+        spec = _field(field)
+        elem_bytes = spec.ELEMENT_BYTES * ext_deg
         expected = num_queries * values_per_query * elem_bytes
         if len(self.values) != expected:
             raise ValueError(
                 f"expected {expected} query value bytes, but was {len(self.values)}"
             )
         r = SliceReader(self.values)
-        rows = [r.read_felts(values_per_query, ext_deg) for _ in range(num_queries)]
+        rows = [
+            r.read_felts(values_per_query, ext_deg, spec.P, spec.ELEMENT_BYTES)
+            for _ in range(num_queries)
+        ]
         table = Table(rows)
         from ..utils.convert import hash_element_rows
 
-        hashed = hash_element_rows(hasher, rows, ext_deg)
+        hashed = hash_element_rows(hasher, rows, ext_deg, spec)
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
         proof = BatchMerkleProof.deserialize(pr, hashed, depth, hasher)
@@ -226,41 +241,46 @@ class JointTraceQueries:
         self.value_vec = value_vec if value_vec is not None else [b""]
 
     @classmethod
-    def new(cls, merkle_proof, query_values, query_value_vec) -> "JointTraceQueries":
+    def new(cls, merkle_proof, query_values, query_value_vec, field=None) -> "JointTraceQueries":
         assert query_values
         epq = len(query_values[0])
+        eb = _field(field).ELEMENT_BYTES
         w = ByteWriter()
         for elements in query_values:
             assert len(elements) == epq
-            w.write_felts(elements)
+            w.write_felts(elements, eb)
         value_vec = []
         for per_trace in query_value_vec:
             wv = ByteWriter()
             for elements in per_trace:
-                wv.write_felts(elements)
+                wv.write_felts(elements, eb)
             value_vec.append(wv.to_bytes())
         return cls(merkle_proof.serialize_nodes(), w.to_bytes(), value_vec)
 
     def parse(self, hasher, domain_size: int, num_queries: int, values_per_query_vec,
-              ext_deg: int):
+              ext_deg: int, field=None):
         """Returns (BatchMerkleProof, joint Table, [per-trace Table]).
         Joint rows are re-split by widths (queries.rs:263-324); element type
         for the main segment is the base field (ext_deg=1)."""
         from ..crypto.merkle import BatchMerkleProof
 
+        spec = _field(field)
         total = sum(values_per_query_vec)
-        elem_bytes = 8 * ext_deg
+        elem_bytes = spec.ELEMENT_BYTES * ext_deg
         expected = num_queries * total * elem_bytes
         if len(self.values) != expected:
             raise ValueError(
                 f"expected {expected} query value bytes, but was {len(self.values)}"
             )
         r = SliceReader(self.values)
-        joint_rows = [r.read_felts(total, ext_deg) for _ in range(num_queries)]
+        joint_rows = [
+            r.read_felts(total, ext_deg, spec.P, spec.ELEMENT_BYTES)
+            for _ in range(num_queries)
+        ]
         joint = Table(joint_rows)
         from ..utils.convert import hash_element_rows
 
-        hashed = hash_element_rows(hasher, joint_rows, ext_deg)
+        hashed = hash_element_rows(hasher, joint_rows, ext_deg, spec)
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
         proof = BatchMerkleProof.deserialize(pr, hashed, depth, hasher)
@@ -303,7 +323,7 @@ class OodFrame:
         self.trace_states = trace_states
         self.evaluations = evaluations
 
-    def set_trace_states(self, trace_states):
+    def set_trace_states(self, trace_states, field=None):
         """trace_states: [current_row, next_row], each a list of elements.
         Returns the interleaved element vector used to reseed the coin once
         (ood_frame.rs:46-67)."""
@@ -316,27 +336,31 @@ class OodFrame:
                 result.append(row[i])
         w = ByteWriter()
         w.write_u8(frame_size)
-        w.write_felts(result)
+        w.write_felts(result, _field(field).ELEMENT_BYTES)
         self.trace_states = w.to_bytes()
         return result
 
-    def set_constraint_evaluations(self, evaluations):
+    def set_constraint_evaluations(self, evaluations, field=None):
         assert not self.evaluations, "constraint evaluations have already been set"
         assert evaluations
         w = ByteWriter()
-        w.write_felts(evaluations)
+        w.write_felts(evaluations, _field(field).ELEMENT_BYTES)
         self.evaluations = w.to_bytes()
 
     def parse(self, main_trace_width: int, aux_trace_width: int, num_evaluations: int,
-              ext_deg: int):
+              ext_deg: int, field=None):
         """Returns (interleaved trace element vector, evaluations vector)."""
+        spec = _field(field)
         r = SliceReader(self.trace_states)
         frame_size = r.read_u8()
-        trace = r.read_felts((main_trace_width + aux_trace_width) * frame_size, ext_deg)
+        trace = r.read_felts(
+            (main_trace_width + aux_trace_width) * frame_size, ext_deg,
+            spec.P, spec.ELEMENT_BYTES,
+        )
         if r.has_more():
             raise ValueError("unconsumed ood trace bytes")
         r = SliceReader(self.evaluations)
-        evaluations = r.read_felts(num_evaluations, ext_deg)
+        evaluations = r.read_felts(num_evaluations, ext_deg, spec.P, spec.ELEMENT_BYTES)
         if r.has_more():
             raise ValueError("unconsumed ood evaluation bytes")
         return trace, evaluations

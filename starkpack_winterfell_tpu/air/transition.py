@@ -77,8 +77,9 @@ class TransitionConstraints:
         ]
         from .divisors import ConstraintDivisor
 
+        self.field = context.field
         self.divisor = ConstraintDivisor.from_transition(
-            context.trace_len(), context.num_transition_exemptions
+            context.trace_len(), context.num_transition_exemptions, context.field
         )
 
     def num_main_constraints(self) -> int:
@@ -90,10 +91,11 @@ class TransitionConstraints:
     def combine_evaluations(self, main_evaluations, aux_evaluations, x):
         """Host scalar combination for the verifier OOD check
         (transition/mod.rs combine_evaluations)."""
-        result = fs.zero()
+        o = self.field
+        result = o.zero()
         for ev, coef in zip(main_evaluations, self.main_constraint_coef):
-            result = fs.fadd(result, fs.fmul(coef, ev))
+            result = o.fadd(result, o.fmul(coef, ev))
         for ev, coef in zip(aux_evaluations, self.aux_constraint_coef):
-            result = fs.fadd(result, fs.fmul(coef, ev))
+            result = o.fadd(result, o.fmul(coef, ev))
         z = self.divisor.evaluate_at(x)
-        return fs.fdiv(result, z)
+        return o.fdiv(result, z)

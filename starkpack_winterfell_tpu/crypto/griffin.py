@@ -143,7 +143,8 @@ class GriffinJive64_256:
         return _elems_bytes(state[:DIGEST_SIZE])
 
     @classmethod
-    def hash_elements(cls, elements) -> bytes:
+    def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:
+        assert elem_bytes == 8, "algebraic hashers are native to f64" 
         flat = []
         for e in elements:
             flat.extend(fs.components(e))

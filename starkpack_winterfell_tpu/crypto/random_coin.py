@@ -28,7 +28,7 @@ class RandomCoin:
         if field is None:
             from ..math.fieldspec import GL64_SPEC as field
         self.field = field
-        self.seed = hasher.hash_elements(seed_elements)
+        self.seed = hasher.hash_elements(seed_elements, field.ELEMENT_BYTES)
         self.counter = 0
 
     @classmethod

@@ -132,7 +132,8 @@ class Rp64_256:
         return _digest_bytes(state)
 
     @classmethod
-    def hash_elements(cls, elements) -> bytes:
+    def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:
+        assert elem_bytes == 8, "algebraic hashers are native to f64" 
         """rp64_256/mod.rs:222-259 — capacity[0] = element count, absorb 8
         base elements per permutation."""
         flat = []

@@ -56,7 +56,8 @@ class Rp62_248:
     COLLISION_RESISTANCE = 124
 
     @classmethod
-    def hash_elements(cls, elements) -> bytes:
+    def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:
+        assert elem_bytes == 8, "Rp62_248 is native to f62 (8-byte elements)" 
         flat = list(elements)
         state = [0] * STATE_WIDTH
         state[0] = len(flat) % P62

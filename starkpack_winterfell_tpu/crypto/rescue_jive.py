@@ -120,7 +120,8 @@ class RpJive64_256:
         return _digest_bytes_jive(state)
 
     @classmethod
-    def hash_elements(cls, elements) -> bytes:
+    def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:
+        assert elem_bytes == 8, "algebraic hashers are native to f64" 
         """rp64_256_jive/mod.rs:227-264: capacity[0]=1 iff count % rate != 0,
         [1,0..] padding of the final partial rate block."""
         flat = []

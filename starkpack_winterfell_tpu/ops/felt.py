@@ -1,38 +1,48 @@
 """User-facing field-element array wrapper.
 
-``Felt`` wraps arrays of Goldilocks (or extension) elements stored as u32
-limb pairs and provides operator overloading so AIR transition constraints
-can be written naturally (``nxt - (cur**3 + k)``) while remaining fully
-vectorized and jittable: the same constraint code runs on the whole
-constraint-evaluation domain on TPU, and on scalars on the host (verifier's
-OOD evaluation).
+``Felt`` wraps arrays of field elements stored as u32 limb tuples and
+provides operator overloading so AIR transition constraints can be written
+naturally (``nxt - (cur**3 + k)``) while remaining fully vectorized and
+jittable: the same constraint code runs on the whole constraint-evaluation
+domain on TPU, and on shape-(1,) arrays on the host (verifier's OOD
+evaluation).
 
-Mirrors the role of the reference's FieldElement trait
-(math/src/field/traits.rs:29) but array-valued.
+Every Felt carries a FieldBackend (default Goldilocks, whose ops are the
+specialized gl64/gl64_ext kernels); f62/f128 Felts use the generic N-limb
+backend.  Mirrors the role of the reference's FieldElement trait
+(math/src/field/traits.rs:29) but array-valued and runtime-dispatched.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-from . import gl64 as gl
-from . import gl64_ext as ext
+from .backend import get_backend
+
+
+def _gl():
+    return get_backend("f64")
 
 
 class Felt:
-    __slots__ = ("c", "deg")
+    __slots__ = ("c", "deg", "B")
 
-    def __init__(self, components, deg=None):
-        """components: tuple of per-component (lo, hi) u32-array pairs."""
+    def __init__(self, components, deg=None, B=None):
+        """components: tuple of per-component u32 limb tuples ((lo, hi) for
+        64-bit fields, 4 limbs for f128)."""
         self.c = tuple(components)
         self.deg = deg if deg is not None else len(self.c)
+        self.B = B if B is not None else _gl()
         assert self.deg == len(self.c) in (1, 2, 3)
 
     # -- constructors -------------------------------------------------------
 
     @staticmethod
     def from_u64s(arr, deg: int = 1) -> "Felt":
-        """From numpy uint64 array; for deg>1 last axis must have size deg."""
+        """From numpy uint64 array (Goldilocks only); for deg>1 last axis
+        must have size deg."""
+        from . import gl64 as gl
+
         arr = np.asarray(arr, dtype=np.uint64)
         if deg == 1:
             return Felt((gl.from_u64(arr),))
@@ -40,25 +50,39 @@ class Felt:
         return Felt(tuple(gl.from_u64(arr[..., i]) for i in range(deg)))
 
     @staticmethod
-    def from_int(v, shape=(), deg: int = 1) -> "Felt":
-        if deg == 1:
-            return Felt((gl.from_int(v, shape),))
-        comps = [gl.from_int(v, shape)] + [gl.from_int(0, shape) for _ in range(deg - 1)]
-        return Felt(tuple(comps))
+    def from_int(v, shape=(), deg: int = 1, B=None) -> "Felt":
+        B = B if B is not None else _gl()
+        if isinstance(v, tuple):
+            comps = tuple(B.b_from_int(x, shape) for x in B.spec.embed(v, deg))
+        else:
+            comps = (B.b_from_int(v, shape),) + tuple(
+                B.b_from_int(0, shape) for _ in range(deg - 1)
+            )
+        return Felt(comps, B=B)
 
     @staticmethod
-    def zero(shape=(), deg: int = 1, xp=np) -> "Felt":
-        return Felt(tuple(gl.zeros(shape, xp) for _ in range(deg)))
+    def zero(shape=(), deg: int = 1, xp=np, B=None) -> "Felt":
+        B = B if B is not None else _gl()
+        return Felt(B.vzeros(shape, deg, xp), B=B)
 
     @staticmethod
-    def one(shape=(), deg: int = 1, xp=np) -> "Felt":
-        return Felt((gl.ones(shape, xp),) + tuple(gl.zeros(shape, xp) for _ in range(deg - 1)))
+    def one(shape=(), deg: int = 1, xp=np, B=None) -> "Felt":
+        B = B if B is not None else _gl()
+        return Felt(B.vones(shape, deg, xp), B=B)
 
     def to_u64s(self) -> np.ndarray:
-        """To numpy uint64 array; deg>1 appends a trailing component axis."""
+        """To numpy uint64 array (Goldilocks only); deg>1 appends a trailing
+        component axis."""
+        from . import gl64 as gl
+
         if self.deg == 1:
             return gl.to_u64(self.c[0])
         return np.stack([gl.to_u64(ci) for ci in self.c], axis=-1)
+
+    def to_elems(self):
+        """Host python ints/tuples (flattened), any field."""
+        flat = self.B.emap(lambda l: np.asarray(l).reshape(-1), self.c)
+        return self.B.limbs_to_elems(flat, self.deg)
 
     # -- shape/utils --------------------------------------------------------
 
@@ -67,34 +91,31 @@ class Felt:
         return self.c[0][0].shape
 
     def __getitem__(self, idx) -> "Felt":
-        return Felt(tuple((lo[idx], hi[idx]) for (lo, hi) in self.c))
+        return Felt(self.B.emap(lambda l: l[idx], self.c), B=self.B)
 
     def reshape(self, *shape) -> "Felt":
-        return Felt(tuple((lo.reshape(*shape), hi.reshape(*shape)) for (lo, hi) in self.c))
+        return Felt(self.B.emap(lambda l: l.reshape(*shape), self.c), B=self.B)
 
     def broadcast_to(self, shape) -> "Felt":
-        xp = gl._xp(self.c[0][0])
-        return Felt(
-            tuple((xp.broadcast_to(lo, shape), xp.broadcast_to(hi, shape)) for (lo, hi) in self.c)
-        )
+        return Felt(self.B.vbroadcast(self.c, shape), B=self.B)
 
     # -- promotion ----------------------------------------------------------
 
     def _promote(self, other, deg=None):
         """Coerce other to a Felt of compatible degree with self."""
         if isinstance(other, int):
-            other = Felt.from_int(other, (), 1)
+            other = Felt.from_int(other, (), 1, self.B)
         if not isinstance(other, Felt):
             return NotImplemented
         a, b = self, other
         if a.deg == b.deg:
             return a, b
         if b.deg == 1:
-            z = gl.zeros((), gl._xp(b.c[0][0]))
-            return a, Felt(b.c + (z,) * (a.deg - 1))
+            z = self.B.b_zeros((), self.B._xp(b.c[0]))
+            return a, Felt(b.c + (z,) * (a.deg - 1), B=self.B)
         if a.deg == 1:
-            z = gl.zeros((), gl._xp(a.c[0][0]))
-            return Felt(a.c + (z,) * (b.deg - 1)), b
+            z = self.B.b_zeros((), self.B._xp(a.c[0]))
+            return Felt(a.c + (z,) * (b.deg - 1), B=self.B), b
         raise ValueError(f"incompatible extension degrees {a.deg} and {b.deg}")
 
     # -- arithmetic ---------------------------------------------------------
@@ -104,7 +125,7 @@ class Felt:
         if r is NotImplemented:
             return NotImplemented
         a, b = r
-        return Felt(tuple(gl.add(x, y) for x, y in zip(a.c, b.c)))
+        return Felt(tuple(self.B.badd(x, y) for x, y in zip(a.c, b.c)), B=self.B)
 
     __radd__ = __add__
 
@@ -113,24 +134,22 @@ class Felt:
         if r is NotImplemented:
             return NotImplemented
         a, b = r
-        return Felt(tuple(gl.sub(x, y) for x, y in zip(a.c, b.c)))
+        return Felt(tuple(self.B.bsub(x, y) for x, y in zip(a.c, b.c)), B=self.B)
 
     def __rsub__(self, other):
         r = self._promote(other)
         if r is NotImplemented:
             return NotImplemented
         a, b = r
-        return Felt(tuple(gl.sub(y, x) for x, y in zip(a.c, b.c)))
+        return Felt(tuple(self.B.bsub(y, x) for x, y in zip(a.c, b.c)), B=self.B)
 
     def __neg__(self):
-        return Felt(tuple(gl.neg(x) for x in self.c))
+        return Felt(tuple(self.B.bneg(x) for x in self.c), B=self.B)
 
     def __mul__(self, other):
         if isinstance(other, Felt) and other.deg == 1 and self.deg > 1:
             return Felt(
-                ext.mul_base2(self.c, other.c[0])
-                if self.deg == 2
-                else ext.mul_base3(self.c, other.c[0])
+                tuple(self.B.bmul(x, other.c[0]) for x in self.c), B=self.B
             )
         if isinstance(other, Felt) and self.deg == 1 and other.deg > 1:
             return other * self
@@ -138,18 +157,14 @@ class Felt:
         if r is NotImplemented:
             return NotImplemented
         a, b = r
-        if a.deg == 1:
-            return Felt((gl.mul(a.c[0], b.c[0]),))
-        if a.deg == 2:
-            return Felt(ext.mul2(a.c, b.c))
-        return Felt(ext.mul3(a.c, b.c))
+        return Felt(self.B.vmul(a.c, b.c), B=self.B)
 
     __rmul__ = __mul__
 
     def __pow__(self, e: int):
         e = int(e)
         if e == 0:
-            return Felt.one(self.shape, self.deg, gl._xp(self.c[0][0]))
+            return Felt.one(self.shape, self.deg, self.B._xp(self.c[0]), self.B)
         result = None
         base = self
         while e:
@@ -161,18 +176,10 @@ class Felt:
         return result
 
     def square(self):
-        if self.deg == 1:
-            return Felt((gl.square(self.c[0]),))
-        if self.deg == 2:
-            return Felt(ext.square2(self.c))
-        return Felt(ext.square3(self.c))
+        return Felt(self.B.vsquare(self.c), B=self.B)
 
     def inverse(self):
-        if self.deg == 1:
-            return Felt((gl.inv(self.c[0]),))
-        if self.deg == 2:
-            return Felt(ext.inv2(self.c))
-        return Felt(ext.inv3(self.c))
+        return Felt(self.B.vinv(self.c), B=self.B)
 
     def __truediv__(self, other):
         r = self._promote(other)
@@ -191,35 +198,42 @@ class Felt:
         a, b = r
         import functools
 
-        res = functools.reduce(
-            lambda acc, xy: acc & gl.eq(xy[0], xy[1]), zip(a.c, b.c), gl.eq(a.c[0], b.c[0])
+        return functools.reduce(
+            lambda acc, xy: acc & self.B.beq(xy[0], xy[1]), zip(a.c, b.c),
+            self.B.beq(a.c[0], b.c[0]),
         )
-        return res
 
     def __repr__(self):
         try:
-            return f"Felt(deg={self.deg}, {self.to_u64s()!r})"
+            return f"Felt({self.B.name}, deg={self.deg}, {self.to_elems()!r})"
         except Exception:
-            return f"Felt(deg={self.deg}, shape={self.shape}, traced)"
+            return f"Felt({self.B.name}, deg={self.deg}, shape={self.shape}, traced)"
 
 
 def stack(felts, axis=0) -> Felt:
-    xp = gl._xp(felts[0].c[0][0])
+    B = felts[0].B
+    xp = B._xp(felts[0].c[0])
     deg = felts[0].deg
+    nl = len(felts[0].c[0])
     comps = []
     for i in range(deg):
-        lo = xp.stack([f.c[i][0] for f in felts], axis=axis)
-        hi = xp.stack([f.c[i][1] for f in felts], axis=axis)
-        comps.append((lo, hi))
-    return Felt(tuple(comps))
+        comps.append(
+            tuple(xp.stack([f.c[i][k] for f in felts], axis=axis) for k in range(nl))
+        )
+    return Felt(tuple(comps), B=B)
 
 
 def concatenate(felts, axis=0) -> Felt:
-    xp = gl._xp(felts[0].c[0][0])
+    B = felts[0].B
+    xp = B._xp(felts[0].c[0])
     deg = felts[0].deg
+    nl = len(felts[0].c[0])
     comps = []
     for i in range(deg):
-        lo = xp.concatenate([f.c[i][0] for f in felts], axis=axis)
-        hi = xp.concatenate([f.c[i][1] for f in felts], axis=axis)
-        comps.append((lo, hi))
-    return Felt(tuple(comps))
+        comps.append(
+            tuple(
+                xp.concatenate([f.c[i][k] for f in felts], axis=axis)
+                for k in range(nl)
+            )
+        )
+    return Felt(tuple(comps), B=B)

@@ -19,18 +19,22 @@ from ..ops import blake3 as b3
 
 
 class ProverChannel:
-    def __init__(self, n: int, airs, pub_inputs_elements_vec, hasher, ext_deg: int):
+    def __init__(self, n: int, airs, pub_inputs_elements_vec, hasher, ext_deg: int,
+                 field=None):
         assert n == len(airs) == len(pub_inputs_elements_vec)
         self.airs = airs
         self.hasher = hasher
         self.ext_deg = ext_deg
+        if field is None:
+            from ..math.fieldspec import GL64_SPEC as field
+        self.field = field
         self.contexts = [
-            Context.new(air.trace_info(), air.options()) for air in airs
+            Context.new(air.trace_info(), air.options(), field) for air in airs
         ]
         seed_elements = list(self.contexts[0].to_elements())
         for pub_elements in pub_inputs_elements_vec:
             seed_elements.extend(pub_elements)
-        self.public_coin = RandomCoin(hasher, seed_elements)
+        self.public_coin = RandomCoin(hasher, seed_elements, field=field)
         self.commitments = Commitments()
         self.ood_frames = [OodFrame() for _ in range(n)]
         self.pow_nonce = 0
@@ -55,14 +59,18 @@ class ProverChannel:
         """channel.rs:108-116 — reseed once per trace with the interleaved
         states."""
         for trace_states, ood_frame in zip(trace_states_vec, self.ood_frames):
-            result = ood_frame.set_trace_states(trace_states)
-            self.public_coin.reseed(self.hasher.hash_elements(result))
+            result = ood_frame.set_trace_states(trace_states, self.field)
+            self.public_coin.reseed(
+                self.hasher.hash_elements(result, self.field.ELEMENT_BYTES)
+            )
 
     def send_ood_constraint_evaluations(self, evaluations):
         """channel.rs:120-125 — same evals into every frame, reseed once."""
         for ood_frame in self.ood_frames:
-            ood_frame.set_constraint_evaluations(evaluations)
-        self.public_coin.reseed(self.hasher.hash_elements(evaluations))
+            ood_frame.set_constraint_evaluations(evaluations, self.field)
+        self.public_coin.reseed(
+            self.hasher.hash_elements(evaluations, self.field.ELEMENT_BYTES)
+        )
 
     # -- draws ---------------------------------------------------------------
 

@@ -4,7 +4,9 @@ prover/src/constraints/{evaluator,boundary,periodic_table,evaluation_table}.rs.
 The reference walks the constraint-evaluation domain row by row
 (evaluator.rs:140-241); here every constraint is evaluated over the whole ce
 domain at once as limb-array operations: the user's ``evaluate_transition``
-runs a single time on Felt arrays of shape (ce_size,).
+runs a single time on Felt arrays of shape (ce_size,).  All field arithmetic
+goes through the AIR's FieldBackend, so the same evaluator serves f64, f62
+and f128 AIRs.
 """
 
 from __future__ import annotations
@@ -12,17 +14,19 @@ from __future__ import annotations
 import numpy as np
 
 from ..air.transition import EvaluationFrame
-from ..math import scalar as fs
-from ..ops import gl64 as gl, ntt, vec
+from ..ops.backend import get_backend
 from ..ops.felt import Felt
-from ..utils.convert import elems_to_limbs, scalar_to_limbs
 
 
 class PeriodicValueTable:
     """prover/src/constraints/periodic_table.rs — per-column ce-domain values.
     Vectorized: column j's value at ce step i is evals_j[i % len_j]."""
 
-    def __init__(self, air):
+    def __init__(self, air, backend=None):
+        self.B = backend if backend is not None else get_backend(
+            air.field_spec().name
+        )
+        B = self.B
         self.columns = []
         polys = air.get_periodic_column_polys()
         if not polys:
@@ -31,39 +35,44 @@ class PeriodicValueTable:
         for poly in polys:
             poly_size = len(poly)
             num_cycles = air.trace_length() // poly_size
-            offset = pow(air.domain_offset(), num_cycles, fs.P)
-            limbs = elems_to_limbs(poly, 1)
-            evals = ntt.evaluate_poly_with_offset(
+            offset = pow(air.domain_offset(), num_cycles, B.P)
+            limbs = B.elems_to_limbs(poly, 1)
+            evals = B.evaluate_poly_with_offset(
                 (limbs[0],), offset, air.ce_blowup_factor()
             )[0]
             n = evals[0].shape[0]
             idx = np.arange(ce) % n
-            self.columns.append((evals[0][idx], evals[1][idx]))
+            self.columns.append(B.cmap(lambda l: l[idx], evals))
 
     def as_felts(self):
-        return [Felt((c,)) for c in self.columns]
+        return [Felt((c,), B=self.B) for c in self.columns]
 
 
 class ConstraintEvaluator:
     """prover/src/constraints/evaluator.rs:20 — per-AIR vectorized."""
 
-    def __init__(self, air, aux_rand_elements, composition_coefficients, ext_deg: int):
+    def __init__(self, air, aux_rand_elements, composition_coefficients, ext_deg: int,
+                 backend=None):
         self.air = air
         self.ext_deg = ext_deg
+        self.B = backend if backend is not None else get_backend(
+            air.field_spec().name
+        )
         self.transition_constraints = air.get_transition_constraints(
             composition_coefficients.transition
         )
-        self.periodic_values = PeriodicValueTable(air)
+        self.periodic_values = PeriodicValueTable(air, self.B)
         self.aux_rand_elements = aux_rand_elements
         self.boundary = air.get_boundary_constraints(
             aux_rand_elements, composition_coefficients.boundary
         )
 
     def evaluate(self, main_lde, aux_ldes, domain):
-        """main_lde: (lo, hi) pair shaped (width, L).  aux_ldes: list of
-        component-tuples shaped (width_aux, L).  Returns (columns, divisors):
-        columns[0] = combined transition evaluations, columns[1..] = boundary
-        groups, each a component tuple of shape (ce_size,)."""
+        """main_lde: single-component tuple shaped (width, L).  aux_ldes:
+        list of component-tuples shaped (width_aux, L).  Returns (columns,
+        divisors): columns[0] = combined transition evaluations, columns[1..]
+        = boundary groups, each a component tuple of shape (ce_size,)."""
+        B = self.B
         ce = domain.ce_size
         L = domain.lde_size
         shift = domain.ce_to_lde_blowup
@@ -72,15 +81,17 @@ class ConstraintEvaluator:
         idx_cur = np.arange(ce) * shift
         idx_nxt = (idx_cur + blowup) % L
 
-        def frame_from(lde_pairs, deg):
-            comps_cur = tuple((c[0][:, idx_cur], c[1][:, idx_cur]) for c in lde_pairs)
-            comps_nxt = tuple((c[0][:, idx_nxt], c[1][:, idx_nxt]) for c in lde_pairs)
+        def frame_from(lde_comps, deg):
+            comps_cur = tuple(B.cmap(lambda l: l[:, idx_cur], c) for c in lde_comps)
+            comps_nxt = tuple(B.cmap(lambda l: l[:, idx_nxt], c) for c in lde_comps)
             width = comps_cur[0][0].shape[0]
             cur = [
-                Felt(tuple((c[0][w], c[1][w]) for c in comps_cur)) for w in range(width)
+                Felt(tuple(B.cmap(lambda l: l[w], c) for c in comps_cur), B=B)
+                for w in range(width)
             ]
             nxt = [
-                Felt(tuple((c[0][w], c[1][w]) for c in comps_nxt)) for w in range(width)
+                Felt(tuple(B.cmap(lambda l: l[w], c) for c in comps_nxt), B=B)
+                for w in range(width)
             ]
             return EvaluationFrame(cur, nxt)
 
@@ -91,10 +102,10 @@ class ConstraintEvaluator:
         n_main = self.transition_constraints.num_main_constraints()
         t_result = [None] * n_main
         self.air.evaluate_transition(main_frame, periodic, t_result)
-        combined = vec.vzeros((ce,), self.ext_deg)
+        combined = B.vzeros((ce,), self.ext_deg)
         for ev, coef in zip(t_result, self.transition_constraints.main_constraint_coef):
-            coef_l = vec.vbroadcast(scalar_to_limbs(coef, self.ext_deg), (ce,))
-            combined = vec.vadd(combined, vec.vmul(coef_l, ev.c))
+            coef_l = B.vbroadcast(B.scalar_to_limbs(coef, self.ext_deg), (ce,))
+            combined = B.vadd(combined, B.vmul(coef_l, ev.c))
 
         aux_frame = None
         if aux_ldes:
@@ -107,18 +118,19 @@ class ConstraintEvaluator:
             for ev, coef in zip(
                 a_result, self.transition_constraints.aux_constraint_coef
             ):
-                coef_l = vec.vbroadcast(scalar_to_limbs(coef, self.ext_deg), (ce,))
-                combined = vec.vadd(combined, vec.vmul(coef_l, ev.c))
+                coef_l = B.vbroadcast(B.scalar_to_limbs(coef, self.ext_deg), (ce,))
+                combined = B.vadd(combined, B.vmul(coef_l, ev.c))
 
         columns = [combined]
         divisors = [self.transition_constraints.divisor]
 
         # boundary constraint groups
-        x = domain.ce_x()  # (ce,) base pair
+        x = domain.ce_x()  # (ce,) base component
         main_state = main_frame.current()
         for group in self.boundary.main_constraints:
             columns.append(
-                _evaluate_boundary_group(group, main_state, x, domain, 1, self.ext_deg, self.air)
+                _evaluate_boundary_group(group, main_state, x, domain, 1,
+                                         self.ext_deg, self.air, B)
             )
             divisors.append(group.divisor)
         if aux_frame is not None:
@@ -127,11 +139,12 @@ class ConstraintEvaluator:
                 # merge into an existing group with the same divisor, like
                 # prover/src/constraints/boundary.rs:30-39
                 col = _evaluate_boundary_group(
-                    group, aux_state, x, domain, self.ext_deg, self.ext_deg, self.air
+                    group, aux_state, x, domain, self.ext_deg, self.ext_deg,
+                    self.air, B
                 )
                 for gi, d in enumerate(divisors):
                     if gi > 0 and d == group.divisor:
-                        columns[gi] = vec.vadd(columns[gi], col)
+                        columns[gi] = B.vadd(columns[gi], col)
                         break
                 else:
                     columns.append(col)
@@ -139,43 +152,41 @@ class ConstraintEvaluator:
         return columns, divisors
 
 
-def _evaluate_boundary_group(group, state, x, domain, state_deg, ext_deg, air):
+def _evaluate_boundary_group(group, state, x, domain, state_deg, ext_deg, air, B):
     """One boundary group over the whole ce domain: sum of
     cc_k * (state[col_k] - value_poly_k(x))."""
+    spec = B.spec
     ce = x[0].shape[0]
-    numerator = vec.vzeros((ce,), ext_deg)
+    numerator = B.vzeros((ce,), ext_deg)
     for constraint in group.constraints:
         poly = constraint.poly
-        poly_deg = 1 if isinstance(poly[0], int) else len(fs.components(poly[0]))
+        poly_deg = 1 if isinstance(poly[0], int) else len(spec.components(poly[0]))
         if len(poly) == 1:
-            value = vec.vbroadcast(scalar_to_limbs(poly[0], poly_deg), (ce,))
+            value = B.vbroadcast(B.scalar_to_limbs(poly[0], poly_deg), (ce,))
         elif len(poly) < 64:
             # Horner at x * x_offset (boundary.rs SmallPolyConstraint)
             xo = constraint.poly_offset[1]
-            xs = gl.mul(x, tuple(np.asarray(a) for a in gl.from_int(xo, (1,))))
-            coeff_limbs = elems_to_limbs(poly, poly_deg)
+            xs = B.bmul(x, B.b_from_int(xo, (1,)))
+            coeff_limbs = B.elems_to_limbs(poly, poly_deg)
             # stack coefficients along a new last axis for horner
             stacked = tuple(
-                (
-                    np.broadcast_to(c[0][None, :], (ce, len(poly))),
-                    np.broadcast_to(c[1][None, :], (ce, len(poly))),
-                )
+                B.cmap(lambda l: np.broadcast_to(l[None, :], (ce, len(poly))), c)
                 for c in coeff_limbs
             )
-            value = vec.horner(stacked, (xs,))
+            value = B.horner(stacked, (xs,))
         else:
             # LargePolyConstraint: LDE of the value poly over the ce domain
-            limbs = elems_to_limbs(poly, poly_deg)
-            evals = ntt.evaluate_poly_with_offset(
+            limbs = B.elems_to_limbs(poly, poly_deg)
+            evals = B.evaluate_poly_with_offset(
                 limbs, air.domain_offset(), air.ce_domain_size() // len(poly)
             )
             step_offset = constraint.poly_offset[0] * air.ce_blowup_factor()
             n = evals[0][0].shape[0]
             idx = (np.arange(ce) - step_offset) % n
-            value = tuple((c[0][idx], c[1][idx]) for c in evals)
-        evaluation = vec.vsub(state[constraint.column].c, value)
-        cc = vec.vbroadcast(scalar_to_limbs(constraint.cc, ext_deg), (ce,))
-        numerator = vec.vadd(numerator, vec.vmul(cc, evaluation))
+            value = tuple(B.cmap(lambda l: l[idx], c) for c in evals)
+        evaluation = B.vsub(state[constraint.column].c, value)
+        cc = B.vbroadcast(B.scalar_to_limbs(constraint.cc, ext_deg), (ce,))
+        numerator = B.vadd(numerator, B.vmul(cc, evaluation))
     return numerator
 
 
@@ -184,42 +195,45 @@ def apply_divisors(columns, divisors, domain):
     into_comb_poly's acc_column loop (evaluation_table.rs:166-186,336-425).
 
     Returns the combined evaluations (component tuple, shape (ce,))."""
+    B = domain.B
     ce = domain.ce_size
     ext_deg = max(len(c) for c in columns)
-    acc = vec.vzeros((ce,), ext_deg)
+    acc = B.vzeros((ce,), ext_deg)
     for column, divisor in zip(columns, divisors):
-        z = _inv_divisor_numerator(divisor, domain)  # base pair, period length
+        z = _inv_divisor_numerator(divisor, domain)  # base component, period
         n = z[0].shape[0]
         idx = np.arange(ce) % n
-        zfull = (z[0][idx], z[1][idx])
+        zfull = B.cmap(lambda l: l[idx], z)
         if divisor.exemptions:
             e = _exemptions_eval(divisor, domain)
-            zfull = gl.mul(zfull, e)
-        acc = vec.vadd(acc, vec.vmul(vec.promote(column, ext_deg), (zfull,)))
+            zfull = B.bmul(zfull, e)
+        acc = B.vadd(acc, B.vmul(B.promote(column, ext_deg), (zfull,)))
     return acc
 
 
 def _inv_divisor_numerator(divisor, domain):
     """Batch-inverted evaluations of (x^a - b) over its period
     (evaluation_table.rs get_inv_evaluation)."""
+    B = domain.B
     a, b = divisor.numerator[0]
     n = domain.ce_size // a
     # x^a over the ce domain has period n: (offset*g^i)^a = offset^a * g^(ia)
-    g_a = pow(domain.ce_domain_generator(), a, fs.P)
-    offs_a = pow(domain.domain_offset, a, fs.P)
-    xs = ntt.power_series(g_a, n)
-    xs = gl.mul(xs, tuple(np.asarray(v) for v in gl.from_int(offs_a, (1,))))
-    b_pair = gl.from_int(b, (1,))
-    vals = gl.sub(xs, (np.broadcast_to(b_pair[0], xs[0].shape), np.broadcast_to(b_pair[1], xs[1].shape)))
-    return gl.batch_inv(vals)
+    g_a = pow(domain.ce_domain_generator(), a, B.P)
+    offs_a = pow(domain.domain_offset, a, B.P)
+    xs = B.power_series(g_a, n)
+    xs = B.bmul(xs, B.b_from_int(offs_a, (1,)))
+    b_comp = B.b_from_int(b, (1,))
+    vals = B.bsub(xs, B.cmap(lambda l: np.broadcast_to(l, xs[0].shape), b_comp))
+    return B.b_batch_inv(vals)
 
 
 def _exemptions_eval(divisor, domain):
-    """prod (x - e_j) over the ce domain (base pair, shape (ce,))."""
+    """prod (x - e_j) over the ce domain (base component, shape (ce,))."""
+    B = domain.B
     x = domain.ce_x()
-    result = gl.ones(x[0].shape, np)
+    result = B.b_ones(x[0].shape, np)
     for e in divisor.exemptions:
-        ep = gl.from_int(e, (1,))
-        term = gl.sub(x, (np.broadcast_to(ep[0], x[0].shape), np.broadcast_to(ep[1], x[1].shape)))
-        result = gl.mul(result, term)
+        ep = B.b_from_int(e, (1,))
+        term = B.bsub(x, B.cmap(lambda l: np.broadcast_to(l, x[0].shape), ep))
+        result = B.bmul(result, term)
     return result

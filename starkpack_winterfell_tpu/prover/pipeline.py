@@ -4,7 +4,10 @@ prover/src/lib.rs generate_proof (the 8-phase flow in SURVEY.md §3.1).
 ``Prover`` is the user-facing trait: subclasses provide the AIR class, proof
 options, hash function and public-input extraction; ``prove(n, traces)``
 produces one aggregated StarkProof for all traces sharing a single
-Fiat-Shamir transcript (prover/src/lib.rs:167).
+Fiat-Shamir transcript (prover/src/lib.rs:167).  The base field is whatever
+the AIR declares (``Air.context.field``) — the whole pipeline runs through
+the matching FieldBackend, mirroring the reference's generic
+``Prover<BaseField>`` (prover/src/lib.rs:124).
 """
 
 from __future__ import annotations
@@ -12,10 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..air.air import AuxTraceRandElements
-from ..fri.prover import FriProver
-from ..math import scalar as fs
-from ..ops import vec
-from ..utils.convert import limbs_to_elems, scalar_to_limbs
+from ..fri.prover import FriProver, LimbFriProver
+from ..ops.backend import get_backend
 from .channel import ProverChannel
 from .commitment import (
     build_constraint_queries,
@@ -27,7 +28,6 @@ from .commitment import (
 from .composer import DeepCompositionPoly
 from .constraints import ConstraintEvaluator, apply_divisors
 from .domain import StarkDomain
-from ..ops import ntt
 
 
 class Prover:
@@ -70,18 +70,20 @@ class Prover:
             self.air_class(t.get_info(), p, options)
             for t, p in zip(traces, pub_inputs_vec)
         ]
-        channel = ProverChannel(n, airs, pub_elements_vec, self.hasher, ext_deg)
+        spec = airs[0].field_spec()
+        B = get_backend(spec.name)
+        channel = ProverChannel(n, airs, pub_elements_vec, self.hasher, ext_deg, spec)
 
         # domain from the AIR with the largest trace (lib.rs:241-257)
         max_idx = max(range(n), key=lambda i: airs[i].trace_length())
-        domain = StarkDomain(airs[max_idx])
+        domain = StarkDomain(airs[max_idx], B)
 
         # Phase 1: trace commitment (lib.rs:615-670)
-        main_segments = [t.main_segment_limbs() for t in traces]
+        main_segments = [t.main_segment_limbs(B) for t in traces]
         main_polys, main_ldes = interpolate_and_lde(
-            main_segments, domain.domain_offset, domain.trace_to_lde_blowup
+            main_segments, domain.domain_offset, domain.trace_to_lde_blowup, B
         )
-        main_tree = commit_to_comb_rows(main_ldes, self.hasher, 1)
+        main_tree = commit_to_comb_rows(main_ldes, self.hasher, 1, B)
         channel.commit_trace(main_tree.root())
 
         traces_polys = [{"main": p, "aux": []} for p in main_polys]
@@ -96,9 +98,9 @@ class Prover:
                 aux_traces_rand_elements[i].add_segment_elements(rand_elements)
                 aux_segments.append(trace.build_aux_segment(seg_idx, rand_elements))
             aux_polys, aux_ldes = interpolate_and_lde(
-                aux_segments, domain.domain_offset, domain.trace_to_lde_blowup
+                aux_segments, domain.domain_offset, domain.trace_to_lde_blowup, B
             )
-            aux_tree = commit_to_comb_rows(aux_ldes, self.hasher, ext_deg)
+            aux_tree = commit_to_comb_rows(aux_ldes, self.hasher, ext_deg, B)
             channel.commit_trace(aux_tree.root())
             aux_trees.append(aux_tree)
             for i in range(n):
@@ -110,7 +112,7 @@ class Prover:
         for i, air in enumerate(airs):
             constraint_coeffs = channel.get_constraint_composition_coeffs()
             evaluator = ConstraintEvaluator(
-                air, aux_traces_rand_elements[i], constraint_coeffs, ext_deg
+                air, aux_traces_rand_elements[i], constraint_coeffs, ext_deg, B
             )
             columns, divisors = evaluator.evaluate(
                 traces_ldes[i]["main"], traces_ldes[i]["aux"], domain
@@ -121,60 +123,69 @@ class Prover:
         comb_polys = []
         for columns, divisors in columns_divisors:
             acc = apply_divisors(columns, divisors, domain)
-            coeffs = ntt.interpolate_poly_with_offset(acc, domain.domain_offset)
+            coeffs = B.interpolate_poly_with_offset(acc, domain.domain_offset)
             comb_polys.append(coeffs)
         final_coeff = channel.get_final_polynomial_coeffs()
         final_comb = comb_polys[0]
         ce = domain.ce_size
         for i, cp in enumerate(comb_polys[1:], start=1):
-            k = vec.vbroadcast(
-                scalar_to_limbs(fs.fexp(final_coeff, i), ext_deg), (ce,)
+            k = B.vbroadcast(
+                B.scalar_to_limbs(spec.fexp(final_coeff, i), ext_deg), (ce,)
             )
-            final_comb = vec.vadd(final_comb, vec.vmul(cp, k))
+            final_comb = B.vadd(final_comb, B.vmul(cp, k))
 
         num_cols = airs[0].context.num_constraint_composition_columns()
         trace_length = domain.trace_length
         # chunk coefficients into num_cols columns of trace_length
         # (composition_poly.rs:86-98)
         comp_columns = tuple(
-            (
-                c[0].reshape(ce // trace_length, trace_length)[:num_cols],
-                c[1].reshape(ce // trace_length, trace_length)[:num_cols],
+            B.cmap(
+                lambda l: l.reshape(ce // trace_length, trace_length)[:num_cols], c
             )
-            for c in vec.promote(final_comb, ext_deg)
+            for c in B.promote(final_comb, ext_deg)
         )
-        comp_lde = ntt.evaluate_poly_with_offset(
+        comp_lde = B.evaluate_poly_with_offset(
             comp_columns, domain.domain_offset, domain.lde_size // trace_length
         )
-        constraint_tree = commit_to_rows(comp_lde, self.hasher, ext_deg)
+        constraint_tree = commit_to_rows(comp_lde, self.hasher, ext_deg, B)
         channel.commit_constraints(constraint_tree.root())
 
         # Phase 4: OOD evaluation + DEEP (lib.rs:476-535)
         z = channel.get_ood_point()
-        g_trace = fs.get_root_of_unity(trace_length.bit_length() - 1)
-        zg = fs.fmul(z, g_trace)
+        g_trace = B.get_root_of_unity(trace_length.bit_length() - 1)
+        zg = spec.fmul(z, g_trace)
         ood_traces_states = []
         for tp in traces_polys:
-            at_z = evaluate_trace_polys_at(tp, z, ext_deg)
-            at_zg = evaluate_trace_polys_at(tp, zg, ext_deg)
+            at_z = evaluate_trace_polys_at(tp, z, ext_deg, B)
+            at_zg = evaluate_trace_polys_at(tp, zg, ext_deg, B)
             ood_traces_states.append([at_z, at_zg])
         channel.send_ood_trace_states(ood_traces_states)
 
-        ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg)
+        ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg, B)
         channel.send_ood_constraint_evaluations(ood_evaluations)
 
         deep_coefficients = channel.get_deep_composition_coeffs()
-        deep = DeepCompositionPoly(z, deep_coefficients, ext_deg)
+        deep = DeepCompositionPoly(z, deep_coefficients, ext_deg, B)
         deep.add_trace_polys(traces_polys, ood_traces_states)
         deep.add_composition_poly(comp_columns, ood_evaluations)
         assert deep.degree() == trace_length - 2
 
         # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
-        deep_evaluations = ntt.evaluate_poly_with_offset(
+        deep_evaluations = B.evaluate_poly_with_offset(
             deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
         )
-        fri_prover = FriProver(options.to_fri_options(), self.hasher, ext_deg)
-        fri_prover.build_layers(channel, deep_evaluations)
+        if spec.name == "f64":
+            fri_prover = FriProver(options.to_fri_options(), self.hasher, ext_deg)
+            fri_prover.build_layers(channel, deep_evaluations)
+        else:
+            assert ext_deg == 1, (
+                "extension-field FRI over f62/f128 not yet wired; "
+                "use FieldExtension.NONE"
+            )
+            fri_prover = LimbFriProver(
+                options.to_fri_options(), self.hasher, B.F, spec
+            )
+            fri_prover.build_layers(channel, deep_evaluations[0])
 
         # Phase 7: PoW + query positions (lib.rs:574-577)
         channel.grind_query_seed()
@@ -183,32 +194,35 @@ class Prover:
         # Phase 8: proof assembly (lib.rs:585-603)
         fri_proof = fri_prover.build_proof(query_positions)
         trace_queries = [
-            build_segment_queries(main_ldes, main_tree, query_positions, 1)
+            build_segment_queries(main_ldes, main_tree, query_positions, 1, B)
         ]
         for seg_idx, aux_tree in enumerate(aux_trees):
             aux_ldes_i = [traces_ldes[i]["aux"][seg_idx] for i in range(n)]
             trace_queries.append(
-                build_segment_queries(aux_ldes_i, aux_tree, query_positions, ext_deg)
+                build_segment_queries(aux_ldes_i, aux_tree, query_positions,
+                                      ext_deg, B)
             )
         constraint_queries = build_constraint_queries(
-            comp_lde, constraint_tree, query_positions, ext_deg
+            comp_lde, constraint_tree, query_positions, ext_deg, B
         )
         return channel.build_proof(trace_queries, constraint_queries, fri_proof)
 
 
-def evaluate_columns_at(columns, z, ext_deg: int):
+def evaluate_columns_at(columns, z, ext_deg: int, B=None):
     """Evaluate per-column polynomials (component tuple (w, n)) at an element
     z — vectorized dot with the power series of z (col_matrix.rs:249)."""
+    if B is None:
+        B = get_backend("f64")
     w, n = columns[0][0].shape
-    powz = vec.power_series_elem(scalar_to_limbs(z, ext_deg), n)
-    prod = vec.vmul(powz, columns)  # broadcast (n,) x (w, n)
-    sums = vec.vsum(prod, axis=-1)
-    return limbs_to_elems(sums, len(sums))
+    powz = B.power_series_elem(B.scalar_to_limbs(z, ext_deg), n)
+    prod = B.vmul(powz, columns)  # broadcast (n,) x (w, n)
+    sums = B.vsum(prod, axis=-1)
+    return B.limbs_to_elems(sums, len(sums))
 
 
-def evaluate_trace_polys_at(trace_polys, z, ext_deg: int):
+def evaluate_trace_polys_at(trace_polys, z, ext_deg: int, B=None):
     """TracePolyTable::evaluate_at (poly_table.rs:47-53): main then aux."""
-    result = evaluate_columns_at(trace_polys["main"], z, ext_deg)
+    result = evaluate_columns_at(trace_polys["main"], z, ext_deg, B)
     for aux in trace_polys["aux"]:
-        result.extend(evaluate_columns_at(aux, z, ext_deg))
+        result.extend(evaluate_columns_at(aux, z, ext_deg, B))
     return result

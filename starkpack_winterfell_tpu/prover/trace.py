@@ -1,10 +1,11 @@
 """Execution traces — equivalent of prover/src/trace/{mod,trace_table}.rs.
 
-A trace is stored column-major as u32-limb pairs (the TPU-native layout for
+A trace is stored column-major as u32-limb tuples (the TPU-native layout for
 per-column NTTs).  ``TraceTable.fill`` mirrors the reference's sequential
 builder for convenience; AIRs that can express their update as a jax-scan can
 construct traces directly from arrays (``from_u64_columns``) and stay on
-device end-to-end.
+device end-to-end.  The ``field`` name selects the base field (f64 default;
+f62/f128 traces stage their columns as python ints since values exceed u64).
 """
 
 from __future__ import annotations
@@ -13,20 +14,26 @@ import numpy as np
 
 from ..air.trace_info import TraceInfo, TraceLayout
 from ..math import scalar as fs
+from ..math.fieldspec import FIELDS
 from ..ops import gl64 as gl
 
 
 class TraceTable:
     """prover/src/trace/trace_table.rs:62 — main-segment-only trace."""
 
-    def __init__(self, width: int, length: int, meta: bytes = b""):
+    def __init__(self, width: int, length: int, meta: bytes = b"", field: str = "f64"):
         assert 0 < width <= TraceInfo.MAX_TRACE_WIDTH
         assert length >= TraceInfo.MIN_TRACE_LENGTH and length & (length - 1) == 0
         self.width = width
         self.length = length
         self.meta = meta
-        # column-major u64 staging (filled by host builders)
-        self._columns = np.zeros((width, length), dtype=np.uint64)
+        self.field = field
+        self.spec = FIELDS[field]
+        if field == "f64":
+            # column-major u64 staging (filled by host builders)
+            self._columns = np.zeros((width, length), dtype=np.uint64)
+        else:
+            self._columns = [[0] * length for _ in range(width)]
 
     # -- constructors --------------------------------------------------------
 
@@ -38,29 +45,47 @@ class TraceTable:
         return obj
 
     @classmethod
-    def init(cls, columns) -> "TraceTable":
+    def init(cls, columns, field: str = "f64") -> "TraceTable":
         """From a list of per-column python-int lists (trace_table.rs:107)."""
-        arr = np.array(columns, dtype=np.uint64)
-        return cls.from_u64_columns(arr)
+        if field == "f64":
+            arr = np.array(columns, dtype=np.uint64)
+            return cls.from_u64_columns(arr)
+        obj = cls(len(columns), len(columns[0]), field=field)
+        P = obj.spec.P
+        obj._columns = [[int(v) % P for v in col] for col in columns]
+        return obj
 
     def fill(self, init_fn, update_fn):
         """Sequential builder (trace_table.rs:230-243): ``init_fn(state)``
         seeds row 0, ``update_fn(step, state)`` computes row step+1 from row
         step.  ``state`` is a list of python ints."""
+        P = self.spec.P
         state = [0] * self.width
         init_fn(state)
-        self._columns[:, 0] = [s % fs.P for s in state]
+        self._set_row(0, [s % P for s in state])
         for i in range(self.length - 1):
             update_fn(i, state)
-            self._columns[:, i + 1] = [s % fs.P for s in state]
+            self._set_row(i + 1, [s % P for s in state])
+
+    def _set_row(self, step: int, values):
+        if self.field == "f64":
+            self._columns[:, step] = values
+        else:
+            for c, v in enumerate(values):
+                self._columns[c][step] = v
 
     # -- accessors -----------------------------------------------------------
 
     def get(self, column: int, step: int) -> int:
-        return int(self._columns[column, step])
+        return int(self._columns[column][step]) if self.field != "f64" else int(
+            self._columns[column, step]
+        )
 
     def set(self, column: int, step: int, value: int):
-        self._columns[column, step] = value % fs.P
+        if self.field == "f64":
+            self._columns[column, step] = value % fs.P
+        else:
+            self._columns[column][step] = value % self.spec.P
 
     def get_info(self) -> TraceInfo:
         return TraceInfo(self.width, self.length, self.meta)
@@ -68,12 +93,20 @@ class TraceTable:
     def layout(self) -> TraceLayout:
         return self.get_info().layout
 
-    def main_segment_limbs(self):
-        """Main segment as tuple-of-1 component: (lo, hi) pair of shape
+    def main_segment_limbs(self, backend=None):
+        """Main segment as a tuple-of-1 component of u32 limb arrays shaped
         (width, length)."""
-        return (gl.from_u64(self._columns),)
+        if self.field == "f64":
+            return (gl.from_u64(self._columns),)
+        from ..ops.backend import get_backend
+
+        B = backend if backend is not None else get_backend(self.field)
+        flat = [v for col in self._columns for v in col]
+        comp = B.b_from_ints(flat)
+        return (B.cmap(lambda l: l.reshape(self.width, self.length), comp),)
 
     def main_columns_u64(self) -> np.ndarray:
+        assert self.field == "f64"
         return self._columns
 
     def num_aux_segments(self) -> int:
@@ -84,4 +117,6 @@ class TraceTable:
         return None
 
     def read_row(self, step: int):
-        return [int(v) for v in self._columns[:, step]]
+        if self.field == "f64":
+            return [int(v) for v in self._columns[:, step]]
+        return [col[step] for col in self._columns]

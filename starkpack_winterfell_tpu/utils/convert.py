@@ -47,12 +47,23 @@ def rows_to_words(comps, deg: int):
     return stacked.reshape(shape)
 
 
-def hash_element_rows(hasher, rows, deg: int):
+def hash_element_rows(hasher, rows, deg: int, spec=None):
     """Vectorized hash_elements over uniform rows of elements — one
     hash_words call instead of a per-row host loop (hash_words implements
-    hash_elements semantics byte-for-byte for every registered hasher)."""
+    hash_elements semantics byte-for-byte for every registered hasher).
+    ``spec`` selects the base field (default Goldilocks)."""
     n = len(rows)
     width = len(rows[0])
+    if spec is not None and spec.name != "f64":
+        from ..ops.backend import get_backend
+
+        B = get_backend(spec.name)
+        flat = [e for row in rows for e in row]
+        comps = B.elems_to_limbs(flat, deg)
+        comps = tuple(B.cmap(lambda l: l.reshape(n, width), c) for c in comps)
+        words = B.rows_to_words(comps, deg)
+        digests = hasher.hash_words(words, width * deg * spec.ELEMENT_BYTES)
+        return [hasher.digest_to_bytes(digests[i]) for i in range(n)]
     arr = np.zeros((deg, n, width), dtype=np.uint64)
     for i, row in enumerate(rows):
         for j, e in enumerate(row):

@@ -50,10 +50,13 @@ class TraceOodFrame:
 
 
 class VerifierChannel:
-    def __init__(self, airs, proof, hasher, ext_deg: int):
+    def __init__(self, airs, proof, hasher, ext_deg: int, field=None):
         air0 = airs[0]
         self.hasher = hasher
         self.ext_deg = ext_deg
+        if field is None:
+            from ..math.fieldspec import GL64_SPEC as field
+        self.field = field
         context0 = proof.contexts[0]
         num_trace_segments = context0.trace_layout.num_segments()
         self.lde_domain_size = air0.lde_domain_size()
@@ -79,7 +82,8 @@ class VerifierChannel:
         tq = proof.trace_queries
         try:
             main_proof, main_joint, main_tables = tq[0].parse(
-                hasher, self.lde_domain_size, num_queries, main_widths, 1
+                hasher, self.lde_domain_size, num_queries, main_widths, 1,
+                self.field,
             )
         except ValueError as e:
             raise VerifierError(f"main trace query parsing failed: {e}")
@@ -94,7 +98,8 @@ class VerifierChannel:
             ]
             try:
                 proof_a, joint_a, tables_a = tq[seg_idx].parse(
-                    hasher, self.lde_domain_size, num_queries, widths, ext_deg
+                    hasher, self.lde_domain_size, num_queries, widths, ext_deg,
+                    self.field,
                 )
             except ValueError as e:
                 raise VerifierError(f"aux trace query parsing failed: {e}")
@@ -105,7 +110,8 @@ class VerifierChannel:
         num_constraint_cols = air0.context.num_constraint_composition_columns()
         try:
             c_proof, c_table = proof.constraint_queries.parse(
-                hasher, self.lde_domain_size, num_queries, num_constraint_cols, ext_deg
+                hasher, self.lde_domain_size, num_queries, num_constraint_cols,
+                ext_deg, self.field,
             )
         except ValueError as e:
             raise VerifierError(f"constraint query parsing failed: {e}")
@@ -120,7 +126,7 @@ class VerifierChannel:
             aux_w = air.trace_info().layout.aux_trace_width()
             try:
                 trace, evaluations = proof.ood_frames[i].parse(
-                    main_w, aux_w, num_constraint_cols, ext_deg
+                    main_w, aux_w, num_constraint_cols, ext_deg, self.field
                 )
             except ValueError as e:
                 raise VerifierError(f"OOD frame parsing failed: {e}")
@@ -178,6 +184,7 @@ class VerifierChannel:
                 self.lde_domain_size,
                 self.folding_factor,
                 self.ext_deg,
+                field=self.field,
             )
         return self._fri_channel
 

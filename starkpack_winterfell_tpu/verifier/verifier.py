@@ -20,17 +20,24 @@ def verify(air_class, proof, pub_inputs_vec, hasher):
         trace_info = proof.contexts[i].get_trace_info()
         airs.append(air_class(trace_info, pub_inputs, proof.contexts[i].options))
 
+    spec = airs[0].field_spec()
+    if proof.contexts[0].field_modulus_bytes != spec.get_modulus_le_bytes():
+        raise VerifierError("proof base field does not match the AIR's field")
+
     # seed = context[0] elements ++ all public input elements (lib.rs:95-98)
     seed_elements = list(proof.contexts[0].to_elements())
     for pub_inputs in pub_inputs_vec:
         seed_elements.extend(pub_inputs.to_elements())
-    public_coin = RandomCoin(hasher, seed_elements)
+    public_coin = RandomCoin(hasher, seed_elements, field=spec)
 
-    channel = VerifierChannel(airs, proof, hasher, ext_deg)
-    return _perform_verification(airs, channel, public_coin, hasher, ext_deg)
+    channel = VerifierChannel(airs, proof, hasher, ext_deg, spec)
+    return _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec)
 
 
-def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
+def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None):
+    if spec is None:
+        from ..math.fieldspec import GL64_SPEC as spec
+    fs = spec
     trace_commitments = channel.read_trace_commitments()
 
     # 1. trace commitment + aux rand elements (lib.rs:162-178)
@@ -71,7 +78,9 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
             z,
             ext_deg,
         )
-        public_coin.reseed(hasher.hash_elements(frame.values()))
+        public_coin.reseed(
+            hasher.hash_elements(frame.values(), spec.ELEMENT_BYTES)
+        )
         ood_constraint_evaluation = fs.fadd(
             ood_constraint_evaluation, fs.fmul(ev, fs.fexp(final_coeff, i))
         )
@@ -82,7 +91,9 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
         ood2 = fs.fadd(
             ood2, fs.fmul(fs.fexp(z, i * airs[0].trace_length()), value)
         )
-    public_coin.reseed(hasher.hash_elements(ood_constraint_evaluations))
+    public_coin.reseed(
+        hasher.hash_elements(ood_constraint_evaluations, spec.ELEMENT_BYTES)
+    )
 
     if ood_constraint_evaluation != ood2:
         raise VerifierError("inconsistent OOD constraint evaluations")
@@ -97,6 +108,7 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
         airs[0].options().to_fri_options(),
         airs[0].trace_poly_degree(),
         ext_deg,
+        field=spec,
     )
 
     # 4. PoW + query positions (lib.rs:283-303)
@@ -112,7 +124,8 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
     queried_constraints = channel.read_constraint_evaluations(query_positions)
 
     # 5. DEEP composition at the query points (composer.rs)
-    composer = DeepComposer(airs[0], query_positions, z, deep_coefficients, ext_deg)
+    composer = DeepComposer(airs[0], query_positions, z, deep_coefficients, ext_deg,
+                            spec)
     t_composition = composer.compose_trace_columns(
         queried_main_vec, queried_aux, ood_main_frames, ood_aux_frames
     )
@@ -120,7 +133,7 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
         queried_constraints, ood_constraint_evaluations
     )
     deep_evaluations = [
-        fs.fadd(t, c) for t, c in zip(t_composition, c_composition)
+        spec.fadd(t, c) for t, c in zip(t_composition, c_composition)
     ]
 
     # 6. FRI verification
@@ -134,23 +147,28 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg):
 def _evaluate_constraints(air, coeffs, main_frame, aux_frame, aux_rand_elements, x,
                           ext_deg):
     """verifier/src/evaluator.rs:14-82 — symbolic evaluation at z."""
+    from ..ops.backend import get_backend
+
+    spec = air.field_spec()
+    B = get_backend(spec.name)
+    pspec = None if spec.name == "f64" else spec
     t_constraints = air.get_transition_constraints(coeffs.transition)
 
     periodic_values = []
     for poly in air.get_periodic_column_polys():
         num_cycles = air.trace_length() // len(poly)
-        xp = fs.fexp(x, num_cycles)
-        periodic_values.append(polynom.eval_at(poly, xp))
+        xp = spec.fexp(x, num_cycles)
+        periodic_values.append(polynom.eval_at(poly, xp, pspec))
 
     t1 = [None] * t_constraints.num_main_constraints()
-    _scalar_evaluate(air, main_frame, periodic_values, t1)
+    _scalar_evaluate(air, main_frame, periodic_values, t1, B)
 
     t2 = []
     if aux_frame is not None:
         t2 = [None] * t_constraints.num_aux_constraints()
         air.evaluate_aux_transition(
-            _ScalarFrame(main_frame), _ScalarFrame(aux_frame),
-            [_felt(v) for v in periodic_values], aux_rand_elements, t2,
+            _ScalarFrame(main_frame, B), _ScalarFrame(aux_frame, B),
+            [_felt(v, B) for v in periodic_values], aux_rand_elements, t2,
         )
         t2 = [_unfelt(v) for v in t2]
 
@@ -158,26 +176,26 @@ def _evaluate_constraints(air, coeffs, main_frame, aux_frame, aux_rand_elements,
 
     b_constraints = air.get_boundary_constraints(aux_rand_elements, coeffs.boundary)
     for group in b_constraints.main_constraints:
-        result = fs.fadd(result, group.evaluate_at(main_frame.current(), x))
+        result = spec.fadd(result, group.evaluate_at(main_frame.current(), x))
     if aux_frame is not None:
         for group in b_constraints.aux_constraints:
-            result = fs.fadd(result, group.evaluate_at(aux_frame.current(), x))
+            result = spec.fadd(result, group.evaluate_at(aux_frame.current(), x))
     return result
 
 
-def _scalar_evaluate(air, frame, periodic_values, result):
+def _scalar_evaluate(air, frame, periodic_values, result, B):
     """Run the user's vectorized evaluate_transition on scalar values by
     wrapping them in shape-(1,) Felts."""
-    air.evaluate_transition(_ScalarFrame(frame), [_felt(v) for v in periodic_values],
-                            result)
+    air.evaluate_transition(_ScalarFrame(frame, B),
+                            [_felt(v, B) for v in periodic_values], result)
     for i, v in enumerate(result):
         result[i] = _unfelt(v)
 
 
 class _ScalarFrame:
-    def __init__(self, frame):
-        self._current = [_felt(v) for v in frame.current()]
-        self._next = [_felt(v) for v in frame.next()]
+    def __init__(self, frame, B):
+        self._current = [_felt(v, B) for v in frame.current()]
+        self._next = [_felt(v, B) for v in frame.next()]
 
     def current(self):
         return self._current
@@ -186,45 +204,38 @@ class _ScalarFrame:
         return self._next
 
 
-def _felt(v):
+def _felt(v, B):
     from ..ops.felt import Felt
 
     deg = 1 if isinstance(v, int) else len(v)
-    return Felt.from_u64s(
-        __import__("numpy").array(
-            [fs.components(fs.embed(v, deg))[c] for c in range(deg)],
-            dtype="uint64",
-        ).reshape(1, deg) if deg > 1 else
-        __import__("numpy").array([v], dtype="uint64"),
-        deg,
-    )
+    return Felt(B.scalar_to_limbs(v, deg), B=B)
 
 
 def _unfelt(f):
     if isinstance(f, (int, tuple)):
         return f
-    arr = f.to_u64s()
-    if f.deg == 1:
-        return int(arr.reshape(-1)[0])
-    flat = arr.reshape(-1, f.deg)[0]
-    return tuple(int(x) for x in flat)
+    return f.to_elems()[0]
 
 
 class DeepComposer:
     """verifier/src/composer.rs:55-217."""
 
-    def __init__(self, air, query_positions, z, cc, ext_deg):
+    def __init__(self, air, query_positions, z, cc, ext_deg, spec=None):
+        if spec is None:
+            from ..math.fieldspec import GL64_SPEC as spec
+        self.fs = spec
         g_lde = air.lde_domain_generator()
         offset = air.domain_offset()
         self.x_coordinates = [
-            pow(g_lde, p, fs.P) * offset % fs.P for p in query_positions
+            pow(g_lde, p, spec.P) * offset % spec.P for p in query_positions
         ]
         self.cc = cc
-        self.z = [z, fs.fmul(z, air.trace_domain_generator())]
+        self.z = [z, spec.fmul(z, air.trace_domain_generator())]
         self.ext_deg = ext_deg
 
     def compose_trace_columns(self, queried_main_vec, queried_aux_vec,
                               ood_main_frames, ood_aux_frames):
+        fs = self.fs
         n = len(self.x_coordinates)
         results_num = []
         result_den = None
@@ -273,6 +284,7 @@ class DeepComposer:
         return [fs.fdiv(a, d) for a, d in zip(final_num, result_den)]
 
     def compose_constraint_evaluations(self, queried_evaluations, ood_evaluations):
+        fs = self.fs
         num = []
         den = []
         z = self.z[0]
