@@ -142,22 +142,28 @@ def apply_drp_limbs(transposed, domain_offset: int, alpha_l, ext_deg: int):
 
 
 class LimbFriProver:
-    """FRI prover over a generic LimbField (f62/f128) for base-field
-    evaluations — the multi-field counterpart of FriProver (which is
-    specialized to the Goldilocks limb ops)."""
+    """FRI prover over a generic limb field (f62/f128), base or quadratic
+    extension evaluations — the multi-field counterpart of FriProver (which
+    is specialized to the Goldilocks limb ops).  All arithmetic runs through
+    the FieldBackend; evaluations are element tuples (``ext_deg`` components,
+    each a tuple of limb arrays shaped (L,))."""
 
-    def __init__(self, options, hasher, limb_field, spec):
+    def __init__(self, options, hasher, limb_field, spec, ext_deg: int = 1):
+        from ..ops.backend import get_backend
+
         self.options = options
         self.hasher = hasher
         self.F = limb_field
         self.spec = spec
+        self.B = get_backend(spec.name)
+        self.ext_deg = ext_deg
         self.layers = []
         self.remainder_poly = None
 
     def build_layers(self, channel, evaluations):
-        """evaluations: limb tuple shaped (L,)."""
+        """evaluations: element tuple, components shaped (L,)."""
         assert not self.layers
-        n_layers = self.options.num_fri_layers(evaluations[0].shape[-1])
+        n_layers = self.options.num_fri_layers(evaluations[0][0].shape[-1])
         for _ in range(n_layers):
             evaluations = self._build_layer(channel, evaluations)
         self._set_remainder(channel, evaluations)
@@ -167,27 +173,47 @@ class LimbFriProver:
 
         from ..crypto.merkle import MerkleTree, build_levels
 
-        F, spec = self.F, self.spec
+        B, spec = self.B, self.spec
         N = self.options.folding_factor
-        L = evaluations[0].shape[-1]
+        L = evaluations[0][0].shape[-1]
         m = L // N
-        transposed = tuple(l.reshape(N, m).T for l in evaluations)  # (m, N) limbs
-        # words: per element, its limbs in LE order -> (m, N * n_limbs)
-        xp = _np
-        words = _np.stack(transposed, axis=-1).reshape(m, N * F.n)
-        leaves = self.hasher.hash_words(words, N * F.n * 4)
+        # transposed[i][j] = evals[i + j*m]: components reshaped (N, m).T
+        transposed = tuple(
+            B.cmap(lambda l: l.reshape(N, m).T, c) for c in evaluations
+        )
+        words = B.rows_to_words(transposed, self.ext_deg)
+        leaves = self.hasher.hash_words(words, N * self.ext_deg * spec.ELEMENT_BYTES)
         tree = MerkleTree(build_levels(_np.asarray(leaves), self.hasher), self.hasher)
         channel.commit_fri_layer(tree.root())
         alpha = channel.draw_fri_alpha()
-        folded = F.apply_drp(transposed, spec.GENERATOR, alpha)
+        folded = self._apply_drp(transposed, alpha)
         self.layers.append((transposed, tree, m, N))
         return folded
 
+    def _apply_drp(self, transposed, alpha):
+        """Degree-respecting projection (fri/src/folding/mod.rs:85-117) via
+        batched per-row iNTT + Horner at inv_offset_i * alpha."""
+        B, spec = self.B, self.spec
+        m, N = transposed[0][0].shape
+        coeffs = B.interpolate_poly(transposed)
+        src_size = m * N
+        g = spec.get_root_of_unity(src_size.bit_length() - 1)
+        inv_g = pow(g, spec.P - 2, spec.P)
+        inv_c = pow(spec.GENERATOR, spec.P - 2, spec.P)
+        inv_offs = B.b_from_ints(
+            [inv_c * pow(inv_g, i, spec.P) % spec.P for i in range(m)]
+        )
+        alpha_l = B.scalar_to_limbs(alpha, self.ext_deg)
+        x = B.vmul(B.vbroadcast(alpha_l, (m,)), (inv_offs,))
+        return B.horner(coeffs, x, axis=-1)
+
     def _set_remainder(self, channel, evaluations):
-        F, spec = self.F, self.spec
-        coeffs = F.interpolate_poly_with_offset(evaluations, spec.GENERATOR)
-        size = evaluations[0].shape[-1] // self.options.blowup_factor
-        remainder = F.to_ints(tuple(l[:size] for l in coeffs))
+        B, spec = self.B, self.spec
+        coeffs = B.interpolate_poly_with_offset(evaluations, spec.GENERATOR)
+        size = evaluations[0][0].shape[-1] // self.options.blowup_factor
+        remainder = B.limbs_to_elems(
+            tuple(B.cmap(lambda l: l[:size], c) for c in coeffs), self.ext_deg
+        )
         channel.commit_fri_layer(
             self.hasher.hash_elements(remainder, spec.ELEMENT_BYTES)
         )
@@ -197,7 +223,7 @@ class LimbFriProver:
         from .proof import FriProof, FriProofLayer
 
         assert self.remainder_poly is not None
-        F, spec = self.F, self.spec
+        B, spec = self.B, self.spec
         proof_layers = []
         pos = list(positions)
         if self.layers:
@@ -208,8 +234,11 @@ class LimbFriProver:
                 mp = tree.prove_batch(pos)
                 rows = []
                 for p in pos:
-                    rows.append(F.to_ints(tuple(l[p] for l in transposed)))
-                proof_layers.append(FriProofLayer.new(rows, mp, 1, spec))
+                    row = tuple(B.cmap(lambda l: l[p], c) for c in transposed)
+                    rows.append(B.limbs_to_elems(row, self.ext_deg))
+                proof_layers.append(
+                    FriProofLayer.new(rows, mp, self.ext_deg, spec)
+                )
                 domain_size //= N
         remainder = self.remainder_poly
         self.layers = []

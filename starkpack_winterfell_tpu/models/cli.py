@@ -47,6 +47,22 @@ def get_example(name: str):
             return build_lamport_trace(message, sig, k)
 
         return LamportAir, LamportProver, build
+    if name == "lamport128":
+        from . import lamport128 as lam
+
+        def build128(i, l):
+            k = l // 8 - 1
+            secrets, pk_hashes, _ = lam.keygen(k, seed=i)
+            message = (0x6A09E667F3BCC908 + i) % (1 << k) if k < 63 else i + 1
+            sig = lam.sign(secrets, pk_hashes, message, k)
+            return lam.build_lamport128_trace(message, sig, k)
+
+        return lam.Lamport128Air, lam.Lamport128Prover, build128
+    if name.startswith("fib-"):
+        from .fib_multifield import get_fib_family
+
+        air_class, build_trace, prover_class, _ = get_fib_family(name[4:])
+        return air_class, prover_class, lambda i, l: build_trace(l)
     if name == "perm":
         from .permutation import PermAir, PermProver, build_perm_trace
 
@@ -56,7 +72,10 @@ def get_example(name: str):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("example", choices=["do-work", "fib", "rescue-chain", "perm", "lamport"])
+    p.add_argument("example", choices=[
+        "do-work", "fib", "rescue-chain", "perm", "lamport", "lamport128",
+        "fib-f62", "fib-f128",
+    ])
     p.add_argument("-n", "--num-traces", type=int, default=2)
     p.add_argument("-l", "--trace-length", type=int, default=1024)
     p.add_argument("-q", "--queries", type=int, default=32)

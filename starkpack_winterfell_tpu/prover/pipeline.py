@@ -178,14 +178,10 @@ class Prover:
             fri_prover = FriProver(options.to_fri_options(), self.hasher, ext_deg)
             fri_prover.build_layers(channel, deep_evaluations)
         else:
-            assert ext_deg == 1, (
-                "extension-field FRI over f62/f128 not yet wired; "
-                "use FieldExtension.NONE"
-            )
             fri_prover = LimbFriProver(
-                options.to_fri_options(), self.hasher, B.F, spec
+                options.to_fri_options(), self.hasher, B.F, spec, ext_deg
             )
-            fri_prover.build_layers(channel, deep_evaluations[0])
+            fri_prover.build_layers(channel, deep_evaluations)
 
         # Phase 7: PoW + query positions (lib.rs:574-577)
         channel.grind_query_seed()

@@ -156,7 +156,7 @@ def test_fri_prove_verify_multifield(F, spec):
     num_queries = 16
 
     coeffs = [rand_elem(spec, 1) for _ in range(trace_length)]
-    evals = F.evaluate_poly_with_offset(F.from_ints(coeffs), spec.GENERATOR, blowup)
+    evals = (F.evaluate_poly_with_offset(F.from_ints(coeffs), spec.GENERATOR, blowup),)
 
     class Channel:
         def __init__(self):
@@ -181,7 +181,7 @@ def test_fri_prove_verify_multifield(F, spec):
     proof.write_into(w)
     proof2 = FriProof.read_from(SliceReader(w.to_bytes()))
 
-    queried = [F.to_ints(tuple(np.atleast_1d(l[p]) for l in evals))[0] for p in positions]
+    queried = [F.to_ints(tuple(np.atleast_1d(l[p]) for l in evals[0]))[0] for p in positions]
 
     vcoin = RandomCoin(Sha3_256, [], field=spec)
     vchannel = VerifierChannelFri(

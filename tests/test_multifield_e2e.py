@@ -67,3 +67,29 @@ def test_f128_grinding_and_security_level():
     assert proof.security_level_conjectured() > 80
     pub_inputs = [prover.get_pub_inputs(t) for t in traces]
     assert verify(air_class, proof, pub_inputs, Sha3_256)
+
+
+@pytest.mark.parametrize("field,hasher", [
+    ("f62", Blake3_256),
+    ("f128", Sha3_256),
+])
+def test_fib_prove_verify_quadratic_extension(field, hasher):
+    """Quadratic-extension DEEP/FRI over the limb fields (x^2 = x + 1 for
+    both f62 and f128 — f62/mod.rs:321, f128/mod.rs:270)."""
+    air_class, build_trace, prover_class, _ = get_fib_family(field)
+    options = ProofOptions(16, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    traces = [build_trace(64), build_trace(64)]
+    prover = prover_class(options, hasher)
+    proof = prover.prove(2, traces)
+
+    data = proof.to_bytes()
+    proof2 = proof.from_bytes(data)
+    assert proof2.to_bytes() == data
+
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(air_class, proof2, pub_inputs, hasher)
+
+    data = bytearray(data)
+    data[len(data) // 3] ^= 0x04
+    with pytest.raises(VerifierError):
+        verify(air_class, proof.from_bytes(bytes(data)), pub_inputs, hasher)
