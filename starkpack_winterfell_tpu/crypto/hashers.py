@@ -183,11 +183,13 @@ for _h in (Blake3_256, Blake3_192, Sha3_256):
 def _register_field_hashers():
     from .griffin import GriffinJive64_256
     from .rescue import Rp64_256
+    from .rescue62 import Rp62_248
     from .rescue_jive import RpJive64_256
 
     HASHERS[Rp64_256.NAME] = Rp64_256
     HASHERS[RpJive64_256.NAME] = RpJive64_256
     HASHERS[GriffinJive64_256.NAME] = GriffinJive64_256
+    HASHERS[Rp62_248.NAME] = Rp62_248
 
 
 _register_field_hashers()

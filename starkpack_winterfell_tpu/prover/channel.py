@@ -114,6 +114,19 @@ class ProverChannel:
     def _find_nonce(self, grinding_factor: int) -> int:
         if grinding_factor == 0:
             return 1  # (1..).find(|_| trailing_zeros >= 0) == 1
+        if not self.hasher.NAME.startswith("blake3"):
+            # generic sequential search over the byte API (serial reference
+            # semantics; lowest valid nonce)
+            seed = self.public_coin.seed
+            nonce = 1
+            while True:
+                head = int.from_bytes(
+                    self.hasher.merge_with_int(seed, nonce)[:8], "little"
+                )
+                tz = 64 if head == 0 else (head & -head).bit_length() - 1
+                if tz >= grinding_factor:
+                    return nonce
+                nonce += 1
         seed_words = np.asarray(
             self.hasher.digest_from_bytes(
                 self.public_coin.seed + b"\x00" * (32 - len(self.public_coin.seed))

@@ -93,3 +93,40 @@ def test_fib_prove_verify_quadratic_extension(field, hasher):
     data[len(data) // 3] ^= 0x04
     with pytest.raises(VerifierError):
         verify(air_class, proof.from_bytes(bytes(data)), pub_inputs, hasher)
+
+
+def test_fib_f62_with_rp62_transcript():
+    """f62 config with its native algebraic hasher Rp62_248 (31-byte
+    digests, rate-first legacy layout — rp62_248/mod.rs:90-230)."""
+    from starkpack_winterfell_tpu.crypto.rescue62 import (
+        Rp62_248, digest_from_bytes31, digest_to_bytes31,
+    )
+
+    # digest pack/unpack round trip
+    vals = [0x3ABCDEF012345678 % ((1 << 62) - 1), 1, (1 << 62) - 5, 42]
+    assert digest_from_bytes31(digest_to_bytes31(vals)) == vals
+
+    # merge/merge_with_int structural checks
+    d1 = Rp62_248.hash_elements([1, 2, 3])
+    d2 = Rp62_248.hash_elements([4, 5])
+    assert len(d1) == 31
+    assert Rp62_248.merge(d1, d2) != Rp62_248.merge(d2, d1)
+    assert Rp62_248.merge_with_int(d1, 7) != Rp62_248.merge_with_int(d1, 8)
+    # value overflow branch: tag 6 vs tag 5
+    big = (1 << 63) + 12345
+    assert Rp62_248.merge_with_int(d1, big) != Rp62_248.merge_with_int(d1, big % ((1 << 62) - 111 * (1 << 39) + 1))
+    # byte hash: trailing-zero sensitivity via padding + count tag
+    assert Rp62_248.hash(b"abc") != Rp62_248.hash(b"abc\x00")
+
+    air_class, build_trace, prover_class, _ = get_fib_family("f62")
+    options = ProofOptions(16, 8, 4, FieldExtension.NONE, 4, 7)
+    traces = [build_trace(32)]
+    prover = prover_class(options, Rp62_248)
+    proof = prover.prove(1, traces)
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(air_class, proof, pub_inputs, Rp62_248)
+
+    data = bytearray(proof.to_bytes())
+    data[len(data) // 2] ^= 0x10
+    with pytest.raises(VerifierError):
+        verify(air_class, proof.from_bytes(bytes(data)), pub_inputs, Rp62_248)
