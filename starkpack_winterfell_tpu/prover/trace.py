@@ -120,3 +120,66 @@ class TraceTable:
         if self.field == "f64":
             return [int(v) for v in self._columns[:, step]]
         return [col[step] for col in self._columns]
+
+    def validate(self, air):
+        """Debug-mode full trace validation (prover/src/trace/mod.rs:101-223):
+        every assertion holds against the trace, and every main transition
+        constraint evaluates to zero at each non-exempt step.  Vectorized:
+        one ``evaluate_transition`` call over the whole trace domain."""
+        from ..ops.backend import get_backend
+        from ..ops.felt import Felt
+
+        B = get_backend(self.field)
+        spec = B.spec
+        L = self.length
+
+        for a in air.get_assertions():
+            if a.is_single():
+                checks = [(a.first_step, a.values[0])]
+            elif a.is_periodic():
+                checks = [
+                    (a.first_step + i * a.stride, a.values[0])
+                    for i in range(L // a.stride)
+                ]
+            else:  # sequence
+                checks = [
+                    (a.first_step + i * a.stride, v) for i, v in enumerate(a.values)
+                ]
+            for step, v in checks:
+                want = spec.components(spec.embed(v, spec.deg_of(v)))[0] if not isinstance(v, int) else v % spec.P
+                got = self.get(a.column, step)
+                if got != want:
+                    raise AssertionError(
+                        f"trace does not satisfy assertion "
+                        f"trace({a.column}, {step}) == {v}, got {got}"
+                    )
+
+        seg = self.main_segment_limbs(B)[0]
+        cur = [
+            Felt((B.cmap(lambda l: l[w_i, : L - 1], seg),), B=B)
+            for w_i in range(self.width)
+        ]
+        nxt = [
+            Felt((B.cmap(lambda l: l[w_i, 1:], seg),), B=B)
+            for w_i in range(self.width)
+        ]
+        from ..air.transition import EvaluationFrame
+
+        frame = EvaluationFrame(cur, nxt)
+        pv = []
+        for col in air.get_periodic_column_values():
+            vals = [col[i % len(col)] for i in range(L - 1)]
+            pv.append(Felt((B.b_from_ints(vals),), B=B))
+        k = air.context.num_main_transition_constraints()
+        result = [None] * k
+        air.evaluate_transition(frame, pv, result)
+        n_exempt = air.context.num_transition_exemptions
+        for ci, ev in enumerate(result):
+            vals = ev.to_elems()
+            for step in range(L - 1 - (n_exempt - 1)):
+                if not spec.is_zero(vals[step]):
+                    raise AssertionError(
+                        f"transition constraint {ci} did not evaluate to "
+                        f"zero at step {step} (got {vals[step]})"
+                    )
+        return True

@@ -211,3 +211,46 @@ def test_lamport_forged_signature_fails():
     pub_inputs = [prover.get_pub_inputs(trace)]
     # the trace's final B digest no longer equals the real public key
     assert pub_inputs[0].pub_key != pub_key
+
+
+def test_trace_validate():
+    """TraceTable.validate — the reference's debug-mode full trace check
+    (prover/src/trace/mod.rs:101-223)."""
+    import pytest as _pytest
+
+    from starkpack_winterfell_tpu.air.options import FieldExtension, ProofOptions
+    from starkpack_winterfell_tpu.models.do_work import (
+        DoWorkAir,
+        PublicInputs,
+        build_do_work_trace,
+    )
+
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 7)
+    trace = build_do_work_trace(3, 32)
+    air = DoWorkAir(
+        trace.get_info(), PublicInputs(3, trace.get(0, trace.length - 1)), options
+    )
+    assert trace.validate(air)
+
+    # corrupt one cell mid-trace: transition constraint must fire
+    trace.set(0, 7, trace.get(0, 7) + 1)
+    with _pytest.raises(AssertionError, match="transition constraint"):
+        trace.validate(air)
+
+    # corrupt the asserted boundary cell: assertion must fire
+    trace2 = build_do_work_trace(3, 32)
+    trace2.set(0, 0, 999)
+    air2 = DoWorkAir(
+        trace2.get_info(), PublicInputs(3, trace2.get(0, trace2.length - 1)), options
+    )
+    with _pytest.raises(AssertionError, match="assertion"):
+        trace2.validate(air2)
+
+    # multi-field: f128 fib trace validates
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+    air_class, build_trace, prover_class, _ = get_fib_family("f128")
+    t = build_trace(32)
+    prover = prover_class(options, None)
+    a = air_class(t.get_info(), prover.get_pub_inputs(t), options)
+    assert t.validate(a)
