@@ -130,3 +130,22 @@ def test_fib_f62_with_rp62_transcript():
     data[len(data) // 2] ^= 0x10
     with pytest.raises(VerifierError):
         verify(air_class, proof.from_bytes(bytes(data)), pub_inputs, Rp62_248)
+
+
+def test_fib_f62_cubic_extension():
+    """Cubic-extension DEEP/FRI over f62 (x^3 = -2x - 2, f62/mod.rs:345);
+    f128 has no cubic extension (f128/mod.rs:295-298) and raises."""
+    air_class, build_trace, prover_class, _ = get_fib_family("f62")
+    options = ProofOptions(16, 8, 0, FieldExtension.CUBIC, 4, 7)
+    traces = [build_trace(32), build_trace(32)]
+    prover = prover_class(options, Blake3_256)
+    proof = prover.prove(2, traces)
+    data = proof.to_bytes()
+    proof2 = proof.from_bytes(data)
+    assert proof2.to_bytes() == data
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(air_class, proof2, pub_inputs, Blake3_256)
+
+    air128, build128, prover128, _ = get_fib_family("f128")
+    with pytest.raises((AssertionError, ValueError)):
+        prover128(options, Sha3_256).prove(1, [build128(32)])
