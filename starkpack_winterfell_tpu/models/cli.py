@@ -47,6 +47,18 @@ def get_example(name: str):
             return build_lamport_trace(message, sig, k)
 
         return LamportAir, LamportProver, build
+    if name == "rescue128-chain":
+        from .rescue128_chain import (
+            Rescue128ChainAir,
+            Rescue128ChainProver,
+            build_rescue128_chain_trace,
+        )
+
+        return (
+            Rescue128ChainAir,
+            Rescue128ChainProver,
+            lambda i, l: build_rescue128_chain_trace([i + 1, i + 2], l // 8),
+        )
     if name == "lamport128":
         from . import lamport128 as lam
 
@@ -73,8 +85,8 @@ def get_example(name: str):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("example", choices=[
-        "do-work", "fib", "rescue-chain", "perm", "lamport", "lamport128",
-        "fib-f62", "fib-f128",
+        "do-work", "fib", "rescue-chain", "rescue128-chain", "perm", "lamport",
+        "lamport128", "fib-f62", "fib-f128",
     ])
     p.add_argument("-n", "--num-traces", type=int, default=2)
     p.add_argument("-l", "--trace-length", type=int, default=1024)

@@ -65,3 +65,66 @@ def test_lamport128_prove_verify():
     bad_pk = [lam.Lamport128Inputs(message, [(pub_key[0] + 1) % lam.P, pub_key[1]])]
     with pytest.raises(VerifierError):
         verify(lam.Lamport128Air, proof2, bad_pk, Sha3_256)
+
+
+def test_lamport128_batched_aggregation():
+    """StarkPack batching: n independent signatures -> ONE aggregated proof
+    (the reference's Lamport+ aggregate-signature benchmark shape)."""
+    k = 7  # 64-row traces
+    n = 4
+    traces, pubs = [], []
+    for s in range(n):
+        secrets, pk_hashes, pub_key = lam.keygen(k, seed=100 + s)
+        message = (0b1011001 + s) % (1 << k)
+        sig = lam.sign(secrets, pk_hashes, message, k)
+        traces.append(lam.build_lamport128_trace(message, sig, k))
+    options = ProofOptions(24, 8, 0, FieldExtension.NONE, 4, 7)
+    prover = lam.Lamport128Prover(options, Sha3_256)
+    proof = prover.prove(n, traces)
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(lam.Lamport128Air, proof, pub_inputs, Sha3_256)
+
+    # aggregated proof must be far smaller than n independent proofs
+    single = prover.prove(1, traces[:1])
+    assert len(proof.to_bytes()) < n * len(single.to_bytes())
+
+    # swapping two instances' public inputs must fail
+    swapped = [pub_inputs[1], pub_inputs[0]] + pub_inputs[2:]
+    with pytest.raises(VerifierError):
+        verify(lam.Lamport128Air, proof, swapped, Sha3_256)
+
+
+def test_rescue128_chain_prove_verify():
+    """Rescue128 hash chain over f128 (the upstream `rescue` example)."""
+    from starkpack_winterfell_tpu.models.rescue128_chain import (
+        Rescue128ChainAir,
+        Rescue128ChainInputs,
+        Rescue128ChainProver,
+        build_rescue128_chain_trace,
+        chain_digest,
+    )
+
+    seed = [42, 43]
+    m = 8
+    trace = build_rescue128_chain_trace(seed, m)
+    want = chain_digest(seed, m)
+    last = trace.length - 1
+    assert [trace.get(0, last), trace.get(1, last)] == want
+
+    options = ProofOptions(28, 8, 0, FieldExtension.NONE, 4, 7)
+    prover = Rescue128ChainProver(options, Sha3_256)
+    air = Rescue128ChainAir(
+        trace.get_info(), prover.get_pub_inputs(trace), options
+    )
+    assert trace.validate(air)
+
+    proof = prover.prove(2, [trace, build_rescue128_chain_trace([7, 9], m)])
+    pub_inputs = [
+        prover.get_pub_inputs(t)
+        for t in [trace, build_rescue128_chain_trace([7, 9], m)]
+    ]
+    assert verify(Rescue128ChainAir, proof, pub_inputs, Sha3_256)
+
+    bad = [Rescue128ChainInputs(pub_inputs[0].seed, [1, 2]), pub_inputs[1]]
+    with pytest.raises(VerifierError):
+        verify(Rescue128ChainAir, proof, bad, Sha3_256)
