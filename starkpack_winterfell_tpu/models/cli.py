@@ -59,6 +59,20 @@ def get_example(name: str):
             Rescue128ChainProver,
             lambda i, l: build_rescue128_chain_trace([i + 1, i + 2], l // 8),
         )
+    if name == "merkle128":
+        import random as _random
+
+        from .merkle128 import Merkle128Air, Merkle128Prover, build_merkle128_trace
+
+        def build_mk(i, l):
+            depth = l // 8
+            rng = _random.Random(i)
+            P128 = 340282366920938463463374557953744961537
+            leaf = [rng.randrange(P128), rng.randrange(P128)]
+            sibs = [[rng.randrange(P128), rng.randrange(P128)] for _ in range(depth)]
+            return build_merkle128_trace(leaf, sibs, rng.getrandbits(depth))
+
+        return Merkle128Air, Merkle128Prover, build_mk
     if name == "lamport128":
         from . import lamport128 as lam
 
@@ -86,7 +100,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("example", choices=[
         "do-work", "fib", "rescue-chain", "rescue128-chain", "perm", "lamport",
-        "lamport128", "fib-f62", "fib-f128",
+        "lamport128", "merkle128", "fib-f62", "fib-f128",
     ])
     p.add_argument("-n", "--num-traces", type=int, default=2)
     p.add_argument("-l", "--trace-length", type=int, default=1024)

@@ -128,3 +128,43 @@ def test_rescue128_chain_prove_verify():
     bad = [Rescue128ChainInputs(pub_inputs[0].seed, [1, 2]), pub_inputs[1]]
     with pytest.raises(VerifierError):
         verify(Rescue128ChainAir, proof, bad, Sha3_256)
+
+
+def test_merkle128_prove_verify():
+    """Merkle auth path over f128/Rescue128 (the upstream merkle example's
+    field); trace root must equal the host-folded root, proof verifies, and
+    a wrong root is rejected."""
+    import random
+
+    from starkpack_winterfell_tpu.models.merkle128 import (
+        Merkle128Air,
+        Merkle128Inputs,
+        Merkle128Prover,
+        build_merkle128_trace,
+        compute_root128,
+    )
+
+    rng = random.Random(11)
+    depth = 8
+    leaf = [rng.randrange(lam.P), rng.randrange(lam.P)]
+    siblings = [[rng.randrange(lam.P), rng.randrange(lam.P)] for _ in range(depth)]
+    index = 0b10110010
+    trace = build_merkle128_trace(leaf, siblings, index)
+    root = compute_root128(leaf, siblings, index)
+    last = trace.length - 1
+    assert [trace.get(0, last), trace.get(1, last)] == root
+
+    options = ProofOptions(28, 8, 0, FieldExtension.NONE, 4, 7)
+    prover = Merkle128Prover(options, Sha3_256)
+    air = Merkle128Air(trace.get_info(), prover.get_pub_inputs(trace), options)
+    assert trace.validate(air)
+
+    proof = prover.prove(1, [trace])
+    pub_inputs = [prover.get_pub_inputs(trace)]
+    assert verify(Merkle128Air, proof, pub_inputs, Sha3_256)
+
+    with pytest.raises(VerifierError):
+        verify(
+            Merkle128Air, proof,
+            [Merkle128Inputs([(root[0] + 1) % lam.P, root[1]])], Sha3_256,
+        )
