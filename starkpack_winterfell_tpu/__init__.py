@@ -23,6 +23,7 @@ from .air import (
 )
 from .crypto.hashers import Blake3_192, Blake3_256, Sha3_256, get_hasher
 from .crypto.random_coin import RandomCoin
+from .errors import DeserializationError, ProverError
 from .prover import Prover, TraceTable
 from .verifier import VerifierError, verify
 

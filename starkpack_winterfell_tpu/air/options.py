@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from ..errors import DeserializationError
 from ..utils.serde import ByteWriter, SliceReader
 
 
@@ -25,18 +26,28 @@ class ProofOptions:
         fri_folding_factor: int = 8,
         fri_remainder_max_degree: int = 255,
     ):
-        assert 0 < num_queries <= 255, "number of queries must be in (0, 255]"
-        assert (
-            blowup_factor & (blowup_factor - 1) == 0 and 2 <= blowup_factor <= 128
-        ), "blowup factor must be a power of two in [2, 128]"
-        assert 0 <= grinding_factor <= 32
-        assert field_extension in (1, 2, 3)
-        assert fri_folding_factor in (2, 4, 8, 16)
-        assert (
+        # explicit raises (not asserts): ProofOptions is also built from
+        # untrusted proof bytes via read_from, and asserts vanish under -O.
+        # DeserializationError subclasses ValueError so from_bytes/verify
+        # rejection paths catch it.
+        if not 0 < num_queries <= 255:
+            raise DeserializationError("number of queries must be in (0, 255]")
+        if blowup_factor & (blowup_factor - 1) != 0 or not 2 <= blowup_factor <= 128:
+            raise DeserializationError(
+                "blowup factor must be a power of two in [2, 128]"
+            )
+        if not 0 <= grinding_factor <= 32:
+            raise DeserializationError("grinding factor must be in [0, 32]")
+        if field_extension not in (1, 2, 3):
+            raise DeserializationError("invalid field extension")
+        if fri_folding_factor not in (2, 4, 8, 16):
+            raise DeserializationError("FRI folding factor must be 2, 4, 8 or 16")
+        if (
             fri_remainder_max_degree + 1
-        ) & fri_remainder_max_degree == 0 and fri_remainder_max_degree <= 255, (
-            "FRI remainder max degree must be one less than a power of two, <= 255"
-        )
+        ) & fri_remainder_max_degree != 0 or fri_remainder_max_degree > 255:
+            raise DeserializationError(
+                "FRI remainder max degree must be one less than a power of two, <= 255"
+            )
         self.num_queries = num_queries
         self.blowup_factor = blowup_factor
         self.grinding_factor = grinding_factor
@@ -54,11 +65,12 @@ class ProofOptions:
             return 7  # GENERATOR of f64
         return field.GENERATOR
 
-    def to_fri_options(self):
+    def to_fri_options(self, field=None):
         from ..fri.options import FriOptions
 
         return FriOptions(
-            self.blowup_factor, self.fri_folding_factor, self.fri_remainder_max_degree
+            self.blowup_factor, self.fri_folding_factor,
+            self.fri_remainder_max_degree, field=field,
         )
 
     def to_elements(self):

@@ -7,6 +7,7 @@ are serialized as canonical 8-byte little-endian words per component.
 
 from __future__ import annotations
 
+from ..errors import DeserializationError
 from ..utils.serde import ByteWriter, SliceReader
 from .options import ProofOptions
 from .trace_info import TraceInfo, TraceLayout
@@ -79,12 +80,16 @@ class Context:
     def read_from(cls, r: SliceReader) -> "Context":
         layout = TraceLayout.read_from(r)
         log_len = r.read_u8()
-        assert log_len >= 3, "trace length cannot be smaller than 2^3"
+        # proof-derived values: explicit raises (not asserts) so hostile
+        # inputs are rejected deterministically even under python -O
+        if not 3 <= log_len <= 32:
+            raise DeserializationError("invalid trace length exponent")
         trace_length = 1 << log_len
         num_meta = r.read_u16()
         meta = r.read_bytes(num_meta) if num_meta else b""
         num_mod = r.read_u8()
-        assert num_mod > 0
+        if num_mod == 0:
+            raise DeserializationError("field modulus cannot be empty")
         modulus = r.read_bytes(num_mod)
         options = ProofOptions.read_from(r)
         return cls(layout, trace_length, meta, modulus, options)

@@ -11,20 +11,38 @@ class TraceLayout:
     """trace_info.rs:158 — main width + aux widths + aux rand counts."""
 
     def __init__(self, main_width: int, aux_widths=(0,), aux_rands=(0,)):
-        assert main_width > 0, "main trace segment must have at least one column"
+        # explicit raises: TraceLayout is parsed from untrusted proof bytes
+        # via read_from, so bound violations must reject deterministically
+        from ..errors import DeserializationError
+
+        if main_width <= 0:
+            raise DeserializationError(
+                "main trace segment must have at least one column"
+            )
         full_width = main_width + sum(aux_widths)
-        assert full_width <= 255, "total trace width cannot exceed 255"
+        if full_width > 255:
+            raise DeserializationError("total trace width cannot exceed 255")
         num_aux = 0
         was_zero = False
         for w, r in zip(aux_widths, aux_rands):
             if w != 0:
-                assert not was_zero, "non-empty segment cannot follow an empty one"
-                assert r > 0, "non-empty aux segment needs random elements"
+                if was_zero:
+                    raise DeserializationError(
+                        "non-empty segment cannot follow an empty one"
+                    )
+                if r <= 0:
+                    raise DeserializationError(
+                        "non-empty aux segment needs random elements"
+                    )
                 num_aux += 1
             else:
-                assert r == 0, "empty aux segment cannot require random elements"
+                if r != 0:
+                    raise DeserializationError(
+                        "empty aux segment cannot require random elements"
+                    )
                 was_zero = True
-            assert r <= 255
+            if r > 255:
+                raise DeserializationError("too many aux random elements")
         self.main_segment_width = main_width
         self.aux_segment_widths = tuple(aux_widths)
         self.aux_segment_rands = tuple(aux_rands)

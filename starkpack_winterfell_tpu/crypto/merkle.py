@@ -255,9 +255,15 @@ class BatchMerkleProof:
 
 
 def verify_batch(root: bytes, indexes, proof: BatchMerkleProof) -> bool:
+    # A malformed (attacker-supplied) proof with fewer leaves/node vectors
+    # than positions raises IndexError/KeyError from the leaf/pointer lookups
+    # below — treat any structural failure as a clean rejection.  Extra
+    # unverified leaf rows are also rejected (malleability).
     try:
+        if len(proof.leaves) != len(_map_indexes(indexes, proof.depth)):
+            return False
         return proof.get_root(indexes) == root
-    except ValueError:
+    except (ValueError, IndexError, KeyError):
         return False
 
 

@@ -50,6 +50,11 @@ class VerifierChannelFri:
             raise FriVerificationError(f"layer {idx} Merkle verification failed")
         qv = self.layer_queries[idx]
         N = self.folding_factor
+        # row counts in FriProofLayer.parse are derived from the proof byte
+        # length, not from the expected query count — reject layers whose row
+        # count disagrees with the verifier-computed folded positions.
+        if len(qv) != len(positions) * N:
+            raise FriVerificationError(f"layer {idx} query row count mismatch")
         return [qv[i * N : (i + 1) * N] for i in range(len(qv) // N)]
 
     def read_remainder(self):

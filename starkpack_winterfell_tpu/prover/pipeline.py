@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..air.air import AuxTraceRandElements
+from ..errors import ProverError
 from ..fri.prover import FriProver, LimbFriProver
 from ..ops.backend import get_backend
 from .channel import ProverChannel
@@ -60,7 +61,10 @@ class Prover:
     # -- pipeline ------------------------------------------------------------
 
     def _generate_proof(self, n: int, traces, ext_deg: int):
-        assert n == len(traces)
+        if n != len(traces):
+            raise ProverError(
+                f"expected {n} traces, got {len(traces)}"
+            )
         options = self.options()
 
         # Phase 0: public inputs, AIRs, channel (lib.rs:205-228)
@@ -168,7 +172,12 @@ class Prover:
         deep = DeepCompositionPoly(z, deep_coefficients, ext_deg, B)
         deep.add_trace_polys(traces_polys, ood_traces_states)
         deep.add_composition_poly(comp_columns, ood_evaluations)
-        assert deep.degree() == trace_length - 2
+        if deep.degree() != trace_length - 2:
+            # mirrors ProverError::... (prover/src/lib.rs:535) — a wrong DEEP
+            # degree means the AIR's constraint degrees are inconsistent
+            raise ProverError(
+                f"DEEP composition degree {deep.degree()} != {trace_length - 2}"
+            )
 
         # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
         deep_evaluations = B.evaluate_poly_with_offset(

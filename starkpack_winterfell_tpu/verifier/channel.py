@@ -131,7 +131,15 @@ class VerifierChannel:
             except ValueError as e:
                 raise VerifierError(f"OOD frame parsing failed: {e}")
             self.ood_frames.append(TraceOodFrame(trace, main_w, aux_w))
-            self.ood_constraint_evaluations = evaluations
+            # The reference uses frame 0's copy (channel.rs:144); the copies
+            # in frames 1..n-1 are redundant — reject proofs where they
+            # disagree so aggregated proof bytes are not malleable.
+            if i == 0:
+                self.ood_constraint_evaluations = evaluations
+            elif evaluations != self.ood_constraint_evaluations:
+                raise VerifierError(
+                    "OOD constraint evaluations differ across instance frames"
+                )
 
         # FRI proof
         self.fri_proof = proof.fri_proof

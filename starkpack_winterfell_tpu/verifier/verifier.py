@@ -15,6 +15,19 @@ def verify(air_class, proof, pub_inputs_vec, hasher):
     a vector of public inputs."""
     ext_deg = proof.contexts[0].options.field_extension
 
+    # Only contexts[0] is bound into the Fiat-Shamir seed (matching the
+    # reference fork, verifier/src/lib.rs:95) — reject proofs whose other
+    # per-instance contexts were altered after the challenges were fixed
+    # (free post-challenge malleability otherwise; honest bytes unchanged).
+    for i, ctx in enumerate(proof.contexts[1:], start=1):
+        if not (
+            ctx.trace_layout == proof.contexts[0].trace_layout
+            and ctx.trace_length == proof.contexts[0].trace_length
+            and ctx.field_modulus_bytes == proof.contexts[0].field_modulus_bytes
+            and ctx.options == proof.contexts[0].options
+        ):
+            raise VerifierError(f"proof context {i} differs from context 0")
+
     airs = []
     for i, pub_inputs in enumerate(pub_inputs_vec):
         trace_info = proof.contexts[i].get_trace_info()
