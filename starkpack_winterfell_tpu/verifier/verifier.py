@@ -54,17 +54,26 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
     trace_commitments = channel.read_trace_commitments()
 
     # 1. trace commitment + aux rand elements (lib.rs:162-178)
+    #
+    # NOTE — fork inconsistency resolved in the prover's favor: the reference
+    # PROVER draws aux randomness for ALL instances and then reseeds the
+    # shared aux-segment root once (prover/src/lib.rs:296-352: per segment,
+    # per-trace get_aux_trace_segment_rand_elements, then one commit_trace),
+    # while the reference VERIFIER keeps upstream Winterfell's single-trace
+    # shape (verifier/src/lib.rs:168-178: per air, draw then reseed) — so the
+    # fork cannot verify its own aggregated proofs for n >= 2 randomized
+    # AIRs (its only example, do_work, has no aux segments).  We mirror the
+    # prover (segment-outer, one reseed per shared commitment); for n == 1
+    # the two orders coincide, so single-instance bytes are unchanged.
     public_coin.reseed(trace_commitments[0])
-    aux_traces_rand_elements = []
-    for air in airs:
-        aux_rand = AuxTraceRandElements()
-        for i, commitment in enumerate(trace_commitments[1:]):
+    aux_traces_rand_elements = [AuxTraceRandElements() for _ in airs]
+    for i, commitment in enumerate(trace_commitments[1:]):
+        for aux_rand, air in zip(aux_traces_rand_elements, airs):
             rand_elements = air.get_aux_trace_segment_random_elements(
                 i, public_coin, ext_deg
             )
             aux_rand.add_segment_elements(rand_elements)
-            public_coin.reseed(commitment)
-        aux_traces_rand_elements.append(aux_rand)
+        public_coin.reseed(commitment)
 
     constraints_coeffs = [
         air.get_constraint_composition_coefficients(public_coin, ext_deg)
