@@ -48,6 +48,18 @@ class Blake3_256:
         w.write_felts(elements, elem_bytes)
         return cls.hash(w.to_bytes())
 
+    # -- batched host api (one vectorized call instead of k scalar calls) ----
+
+    @staticmethod
+    def merge_many(pairs):
+        return b3.hash_bytes_many([a + b for a, b in pairs])
+
+    @staticmethod
+    def merge_with_int_many(seed: bytes, values):
+        return b3.hash_bytes_many(
+            [seed + (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for v in values]
+        )
+
     # -- device words api ---------------------------------------------------
 
     @staticmethod
@@ -88,6 +100,17 @@ class Blake3_192(Blake3_256):
     @staticmethod
     def merge_with_int(seed: bytes, value: int) -> bytes:
         return b3.hash_bytes(seed + (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little"))[:24]
+
+    @staticmethod
+    def merge_many(pairs):
+        return b3.hash_bytes_many([a + b for a, b in pairs], out_len=24)
+
+    @staticmethod
+    def merge_with_int_many(seed: bytes, values):
+        return b3.hash_bytes_many(
+            [seed + (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for v in values],
+            out_len=24,
+        )
 
     @staticmethod
     def hash_words(words, byte_len: int):
@@ -147,6 +170,20 @@ class Sha3_256:
         return hashlib.sha3_256(
             seed + (value & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
         ).digest()
+
+    @staticmethod
+    def merge_many(pairs):
+        # hashlib is C-speed; a loop is already ~1 us per merge
+        return [hashlib.sha3_256(a + b).digest() for a, b in pairs]
+
+    @staticmethod
+    def merge_with_int_many(seed: bytes, values):
+        return [
+            hashlib.sha3_256(
+                seed + (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+            ).digest()
+            for v in values
+        ]
 
     @classmethod
     def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:

@@ -160,10 +160,16 @@ class BatchMerkleProof:
         if len(norm) != len(self.nodes):
             raise ValueError("invalid proof: node vector count mismatch")
 
+        # merges within a tree level are independent — collect each level's
+        # (left, right) pairs and hash them in ONE vectorized call (the
+        # reference's per-node loop costs a full scalar hash dispatch per
+        # node; proofs.rs:135-268 semantics are unchanged)
         v = {}
         offset = 1 << self.depth
         next_indexes = []
         proof_pointers = []
+        pairs = []
+        parent_indexes = []
         for i, index in enumerate(norm):
             if index in index_map:
                 buf0 = self.leaves[index_map[index]]
@@ -185,14 +191,18 @@ class BatchMerkleProof:
                     raise ValueError("invalid proof")
                 proof_pointers.append(1)
 
-            parent = self.h.merge(buf0, buf1)
+            pairs.append((buf0, buf1))
             parent_index = (offset + index) >> 1
-            v[parent_index] = parent
+            parent_indexes.append(parent_index)
             next_indexes.append(parent_index)
+        for parent_index, parent in zip(parent_indexes, _merge_many(self.h, pairs)):
+            v[parent_index] = parent
 
         for _ in range(1, self.depth):
             indexes_lvl = next_indexes
             next_indexes = []
+            pairs = []
+            parent_indexes = []
             i = 0
             while i < len(indexes_lvl):
                 node_index = indexes_lvl[i]
@@ -212,15 +222,12 @@ class BatchMerkleProof:
                 node = v.get(node_index)
                 if node is None:
                     raise ValueError("invalid proof")
-                parent = (
-                    self.h.merge(sibling, node)
-                    if node_index & 1
-                    else self.h.merge(node, sibling)
-                )
-                parent_index = node_index >> 1
-                v[parent_index] = parent
-                next_indexes.append(parent_index)
+                pairs.append((sibling, node) if node_index & 1 else (node, sibling))
+                parent_indexes.append(node_index >> 1)
+                next_indexes.append(node_index >> 1)
                 i += 1
+            for parent_index, parent in zip(parent_indexes, _merge_many(self.h, pairs)):
+                v[parent_index] = parent
 
         root = v.get(1)
         if root is None:
@@ -252,6 +259,16 @@ class BatchMerkleProof:
             num_digests = reader.read_u8()
             nodes.append([reader.read_bytes(hasher.DIGEST_BYTES) for _ in range(num_digests)])
         return cls(leaves, nodes, depth, hasher)
+
+
+def _merge_many(h, pairs):
+    """Batched 2-to-1 merges (one vectorized hash call when supported)."""
+    if not pairs:
+        return []
+    f = getattr(h, "merge_many", None)
+    if f is not None:
+        return f(pairs)
+    return [h.merge(a, b) for a, b in pairs]
 
 
 def verify_batch(root: bytes, indexes, proof: BatchMerkleProof) -> bool:

@@ -30,6 +30,8 @@ class RandomCoin:
         self.field = field
         self.seed = hasher.hash_elements(seed_elements, field.ELEMENT_BYTES)
         self.counter = 0
+        self._cache = []
+        self._cache_start = 0
 
     @classmethod
     def from_digest(cls, hasher, seed_digest: bytes, field=None):
@@ -40,19 +42,36 @@ class RandomCoin:
         coin.field = field
         coin.seed = seed_digest
         coin.counter = 0
+        coin._cache = []
+        coin._cache_start = 0
         return coin
 
     def _next(self) -> bytes:
+        """H(seed || ++counter).  Values are precomputed in vectorized blocks
+        when the hasher supports batching — one numpy hash call covers a
+        whole run of draws between reseeds (bit-identical values; draws from
+        a fixed seed differ only in the counter)."""
         self.counter += 1
-        return self.h.merge_with_int(self.seed, self.counter)
+        idx = self.counter - self._cache_start
+        if 0 <= idx < len(self._cache):
+            return self._cache[idx]
+        batched = getattr(self.h, "merge_with_int_many", None)
+        if batched is None:
+            return self.h.merge_with_int(self.seed, self.counter)
+        block = min(max(16, 2 * len(self._cache)), 512)
+        self._cache = batched(self.seed, range(self.counter, self.counter + block))
+        self._cache_start = self.counter
+        return self._cache[0]
 
     def reseed(self, data: bytes):
         self.seed = self.h.merge(self.seed, data)
         self.counter = 0
+        self._cache = []
 
     def reseed_with_int(self, value: int):
         self.seed = self.h.merge_with_int(self.seed, value)
         self.counter = 0
+        self._cache = []
 
     def leading_zeros(self) -> int:
         head = int.from_bytes(self.seed[:8], "little")

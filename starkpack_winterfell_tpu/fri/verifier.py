@@ -3,7 +3,8 @@ work here is O(num_queries · folding_factor) scalar math)."""
 
 from __future__ import annotations
 
-from ..math import polynom, scalar as fs
+import numpy as np
+
 from .prover import fold_positions
 
 
@@ -96,20 +97,39 @@ class FriVerifier:
             max_degree_plus_1 //= options.folding_factor
 
     def verify(self, channel, evaluations, positions):
-        """fri/src/verifier/mod.rs:204-330."""
+        """fri/src/verifier/mod.rs:204-330.
+
+        The reference interpolates each queried row with scalar Lagrange
+        (polynom::interpolate_batch) — here the rows' x-coordinates form
+        cosets x_e * <w_N>, so row interpolation is one batched size-N
+        inverse DFT + per-row inverse-offset scaling (identical coefficients
+        — the interpolant is unique), and the alpha/remainder evaluations
+        are batched Horner over numpy limb arrays."""
+        from ..ops.backend import get_backend
+
         if len(evaluations) != len(positions):
             raise FriVerificationError("position/evaluation count mismatch")
         P = self.field.P
         N = self.options.folding_factor
-        folding_roots = [
-            pow(self.domain_generator, self.domain_size // N * i, P) for i in range(N)
-        ]
+        B = get_backend(self.field.name)
+        d = self.ext_deg
 
         domain_generator = self.domain_generator
         domain_size = self.domain_size
         max_degree_plus_1 = self.max_poly_degree + 1
         positions = list(positions)
         evaluations = list(evaluations)
+
+        # inverse DFT matrix for the size-N subgroup: M[j, i] = w_N^{-ij}/N
+        w_inv = pow(self.field.get_root_of_unity(N.bit_length() - 1), P - 2, P)
+        n_inv = pow(N, P - 2, P)
+        idft = [
+            [pow(w_inv, i * j, P) * n_inv % P for i in range(N)] for j in range(N)
+        ]
+        idft_l = B.emap(
+            lambda a: a.reshape(N, N),
+            B.elems_to_limbs([v for row in idft for v in row], 1),
+        )
 
         for depth in range(self.options.num_fri_layers(self.domain_size)):
             folded_positions = fold_positions(positions, domain_size, N)
@@ -123,14 +143,36 @@ class FriVerifier:
                 raise FriVerificationError(f"invalid layer folding at depth {depth}")
 
             offs = self.field.GENERATOR
-            xs_rows = []
-            for i in folded_positions:
-                xe = pow(domain_generator, i, P) * offs % P
-                xs_rows.append([xe * r % P for r in folding_roots])
-            spec = self.field if self.field.name != "f64" else None
-            row_polys = polynom.interpolate_batch(xs_rows, layer_values, spec)
+            k = len(folded_positions)
+            # q_row(y) := p_row(x_e * y) has evaluations layer_values over
+            # <w_N>; its coefficients come from the idft matrix, and
+            # p_row coeff j = q_row coeff j * x_e^{-j}
+            v = B.promote(
+                B.emap(
+                    lambda a: a.reshape(k, 1, N),
+                    B.elems_to_limbs([e for row in layer_values for e in row], d),
+                ),
+                d,
+            )
+            cq = B.vsum(B.vmul(v, idft_l), axis=-1)  # (k, N)
+            xe = [
+                pow(domain_generator, i, P) * offs % P for i in folded_positions
+            ]
+            xinv = B.b_batch_inv(B.b_from_ints(xe))  # (k,) base
+            cur = B.b_ones((k,))
+            xinv_pows = [cur]
+            for _ in range(N - 1):
+                cur = B.bmul(cur, xinv)
+                xinv_pows.append(cur)
+            xp_limbs = tuple(
+                np.stack([p[li] for p in xinv_pows], axis=-1)
+                for li in range(len(xinv_pows[0]))
+            )  # (k, N) per limb
+            row_polys = B.vmul(cq, (xp_limbs,))  # ext * base
             alpha = self.layer_alphas[depth]
-            evaluations = [polynom.eval_at(p, alpha, spec) for p in row_polys]
+            alpha_l = B.scalar_to_limbs(alpha, d)
+            ev = B.horner(row_polys, alpha_l, axis=-1)  # (k,)
+            evaluations = B.limbs_to_elems(ev, d)
 
             if max_degree_plus_1 % N != 0:
                 raise FriVerificationError("degree truncation")
@@ -143,10 +185,15 @@ class FriVerifier:
         if len(remainder_poly) > max_degree_plus_1:
             raise FriVerificationError("remainder degree mismatch")
         offset = self.field.GENERATOR
-        spec = self.field if self.field.name != "f64" else None
-        for position, evaluation in zip(positions, evaluations):
-            x = offset * pow(domain_generator, position, P) % P
-            if polynom.eval_at(remainder_poly, x, spec) != evaluation:
+        if positions:
+            xs = [
+                offset * pow(domain_generator, position, P) % P
+                for position in positions
+            ]
+            rem = B.promote(B.elems_to_limbs(list(remainder_poly), d), d)
+            xl = B.promote((B.b_from_ints(xs),), d)
+            got = B.limbs_to_elems(B.horner(rem, xl, axis=-1), d)
+            if got != evaluations:
                 raise FriVerificationError("invalid remainder folding")
 
 

@@ -94,6 +94,10 @@ class FieldBackend:
 
     def vinv(self, a):
         if len(a) == 1:
+            # Montgomery-trick batch inverse: one field inversion total
+            # instead of a Fermat chain per call (host verifier hot path)
+            if self._xp(a[0]) is np:
+                return (self.b_batch_inv(a[0]),)
             return (self.binv(a[0]),)
         return self.ext_inv(a)
 
@@ -299,7 +303,10 @@ class FieldBackend:
                     self.bmul(self.bsquare(a1), q0c),
                 ),
             )
-            ninv = self.binv(n_val)
+            if self._xp(n_val) is np:
+                ninv = self.b_batch_inv(n_val)
+            else:
+                ninv = self.binv(n_val)
             return (self.bmul(conj0, ninv), self.bneg(self.bmul(a1, ninv)))
         # cubic: host scalar fallback
         vals = self.limbs_to_elems(a, d)
@@ -313,11 +320,17 @@ class FieldBackend:
         return tuple(self.b_from_int(c, shape) for c in comps)
 
     def elems_to_limbs(self, elements, deg: int):
-        out = []
-        for c in range(deg):
-            vals = [self.spec.components(self.spec.embed(e, deg))[c] for e in elements]
-            out.append(self.b_from_ints(vals))
-        return tuple(out)
+        # fast paths: avoid a python embed/components round trip per element
+        if deg == 1:
+            return (self.b_from_ints(elements),)
+        cols = [[0] * len(elements) for _ in range(deg)]
+        for i, e in enumerate(elements):
+            if isinstance(e, tuple):
+                for c in range(len(e)):
+                    cols[c][i] = e[c]
+            else:
+                cols[0][i] = e
+        return tuple(self.b_from_ints(col) for col in cols)
 
     def limbs_to_elems(self, comps, deg: int):
         cols = [self.b_to_ints(c) for c in comps]

@@ -100,7 +100,32 @@ class SliceReader:
         return comps[0] if deg == 1 else tuple(comps)
 
     def read_felts(self, n: int, deg: int = 1, modulus: int = P, elem_bytes: int = 8):
-        return [self.read_felt(deg, modulus, elem_bytes) for _ in range(n)]
+        """Read n field elements — vectorized: one numpy decode of the whole
+        slab with a single canonicity check, then python ints (identical
+        values and error behavior to a per-element read_felt loop)."""
+        if n == 0:
+            return []
+        if elem_bytes == 8:
+            import numpy as _np
+
+            raw = self._take(n * deg * 8)
+            arr = _np.frombuffer(raw, dtype="<u8")
+            if int(arr.max()) >= modulus:
+                raise ValueError("invalid field element >= modulus")
+            vals = arr.tolist()
+        elif elem_bytes == 16:
+            import numpy as _np
+
+            raw = self._take(n * deg * 16)
+            pairs = _np.frombuffer(raw, dtype="<u8").reshape(-1, 2).tolist()
+            vals = [lo | (hi << 64) for lo, hi in pairs]
+            if max(vals) >= modulus:
+                raise ValueError("invalid field element >= modulus")
+        else:
+            return [self.read_felt(deg, modulus, elem_bytes) for _ in range(n)]
+        if deg == 1:
+            return vals
+        return [tuple(vals[i * deg : (i + 1) * deg]) for i in range(n)]
 
     def has_more(self) -> bool:
         return self.pos < len(self.data)

@@ -90,6 +90,12 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
     ood_main_frames = [f.main_frame() for f in ood_traces_frame]
     ood_aux_frames = [f.aux_frame() for f in ood_traces_frame]
     ood_constraint_evaluation = fs.zero(ext_deg) if ext_deg > 1 else 0
+    # main transition constraints evaluate vectorized across instances (one
+    # (n,)-shaped Felt call instead of n scalar calls); aux-segment AIRs use
+    # the per-instance path (aux randomness is per-instance scalar data)
+    t1_batch = None
+    if ood_aux_frames[0] is None and len(airs) > 1:
+        t1_batch = _batch_main_transition_evals(airs, ood_main_frames, z, ext_deg)
     for i, frame in enumerate(ood_traces_frame):
         ev = _evaluate_constraints(
             airs[i],
@@ -99,6 +105,7 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
             aux_traces_rand_elements[i],
             z,
             ext_deg,
+            t1=None if t1_batch is None else t1_batch[i],
         )
         public_coin.reseed(
             hasher.hash_elements(frame.values(), spec.ELEMENT_BYTES)
@@ -166,24 +173,73 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
     return True
 
 
+def _periodic_values_at(air, x, spec):
+    pspec = None if spec.name == "f64" else spec
+    values = []
+    for poly in air.get_periodic_column_polys():
+        num_cycles = air.trace_length() // len(poly)
+        xp = spec.fexp(x, num_cycles)
+        values.append(polynom.eval_at(poly, xp, pspec))
+    return values
+
+
+def _batch_main_transition_evals(airs, ood_main_frames, z, ext_deg):
+    """Evaluate the (shared) main transition constraints of ALL instances in
+    one vectorized call: the per-instance OOD frames stack into (n,)-shaped
+    Felts.  Returns t1[i] = per-instance evaluation lists (identical values
+    to per-instance scalar evaluation)."""
+    from ..ops.backend import get_backend
+    from ..ops.felt import Felt
+
+    air0 = airs[0]
+    spec = air0.field_spec()
+    B = get_backend(spec.name)
+    n = len(airs)
+    w = len(ood_main_frames[0].current())
+
+    def stack(vals):
+        return Felt(B.elems_to_limbs(list(vals), ext_deg), B=B)
+
+    cur = [stack([f.current()[j] for f in ood_main_frames]) for j in range(w)]
+    nxt = [stack([f.next()[j] for f in ood_main_frames]) for j in range(w)]
+    pv = [_felt(v, B) for v in _periodic_values_at(air0, z, spec)]
+
+    k = air0.context.num_transition_constraints()
+    result = [None] * k
+
+    class _Frame:
+        def current(self):
+            return cur
+
+        def next(self):
+            return nxt
+
+    air0.evaluate_transition(_Frame(), pv, result)
+    per_constraint = []
+    for r in result:
+        if isinstance(r, (int, tuple)):
+            per_constraint.append([r] * n)
+        else:
+            per_constraint.append(
+                B.limbs_to_elems(B.promote(r.c, ext_deg), ext_deg)
+            )
+    return [[per_constraint[c][i] for c in range(k)] for i in range(n)]
+
+
 def _evaluate_constraints(air, coeffs, main_frame, aux_frame, aux_rand_elements, x,
-                          ext_deg):
+                          ext_deg, t1=None):
     """verifier/src/evaluator.rs:14-82 — symbolic evaluation at z."""
     from ..ops.backend import get_backend
 
     spec = air.field_spec()
     B = get_backend(spec.name)
-    pspec = None if spec.name == "f64" else spec
     t_constraints = air.get_transition_constraints(coeffs.transition)
 
-    periodic_values = []
-    for poly in air.get_periodic_column_polys():
-        num_cycles = air.trace_length() // len(poly)
-        xp = spec.fexp(x, num_cycles)
-        periodic_values.append(polynom.eval_at(poly, xp, pspec))
+    periodic_values = _periodic_values_at(air, x, spec)
 
-    t1 = [None] * t_constraints.num_main_constraints()
-    _scalar_evaluate(air, main_frame, periodic_values, t1, B)
+    if t1 is None:
+        t1 = [None] * t_constraints.num_main_constraints()
+        _scalar_evaluate(air, main_frame, periodic_values, t1, B)
 
     t2 = []
     if aux_frame is not None:
@@ -240,12 +296,17 @@ def _unfelt(f):
 
 
 class DeepComposer:
-    """verifier/src/composer.rs:55-217."""
+    """verifier/src/composer.rs:55-217 — vectorized: the per-query x/row
+    loops run as numpy limb-array ops over all queries at once (exact
+    modular arithmetic, so results are identical to the scalar form)."""
 
     def __init__(self, air, query_positions, z, cc, ext_deg, spec=None):
         if spec is None:
             from ..math.fieldspec import GL64_SPEC as spec
+        from ..ops.backend import get_backend
+
         self.fs = spec
+        self.B = get_backend(spec.name)
         g_lde = air.lde_domain_generator()
         offset = air.domain_offset()
         self.x_coordinates = [
@@ -254,68 +315,112 @@ class DeepComposer:
         self.cc = cc
         self.z = [z, spec.fmul(z, air.trace_domain_generator())]
         self.ext_deg = ext_deg
+        d = ext_deg
+        B = self.B
+        self._x = B.promote(B.elems_to_limbs(self.x_coordinates, 1), d)  # (q,)
+        z1 = B.scalar_to_limbs(self.z[0], d)
+        z2 = B.scalar_to_limbs(self.z[1], d)
+        self._t1_den = B.vsub(self._x, z1)  # (q,)
+        self._t2_den = B.vsub(self._x, z2)
+
+    def _table_limbs(self, table, deg_in: int):
+        """Table rows -> (q, w) limb comps promoted to ext degree."""
+        B = self.B
+        rows = list(table.rows())
+        q, w = len(rows), len(rows[0])
+        flat = [v for row in rows for v in row]
+        comps = B.elems_to_limbs(flat, deg_in)
+        comps = B.emap(lambda a: a.reshape(q, w), comps)
+        return B.promote(comps, self.ext_deg)
+
+    def _states_limbs(self, states):
+        """A width-w list of (ext) elements -> (1, w) limb comps."""
+        B = self.B
+        comps = B.elems_to_limbs(list(states), self.ext_deg)
+        return B.emap(lambda a: a.reshape(1, -1), comps)
+
+    def _cc_limbs(self, coeffs):
+        B = self.B
+        comps = B.elems_to_limbs(list(coeffs), self.ext_deg)
+        return B.emap(lambda a: a.reshape(1, -1), comps)
+
+    def _num_pair(self, T, ood0, ood1, k):
+        """sum_i k_i (T[:, i] - ood{0,1}[i]) for all queries -> two (q,)."""
+        B = self.B
+        t1 = B.vsum(B.vmul(B.vsub(T, ood0), k), axis=-1)
+        t2 = B.vsum(B.vmul(B.vsub(T, ood1), k), axis=-1)
+        return t1, t2
 
     def compose_trace_columns(self, queried_main_vec, queried_aux_vec,
                               ood_main_frames, ood_aux_frames):
-        fs = self.fs
-        n = len(self.x_coordinates)
-        results_num = []
-        result_den = None
-        for index, table in enumerate(queried_main_vec):
-            num = []
-            den = []
-            ood_states = [
-                ood_main_frames[index].current(),
-                ood_main_frames[index].next(),
-            ]
-            for row, x in zip(table.rows(), self.x_coordinates):
-                t1_num = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
-                t2_num = t1_num
-                for i, value in enumerate(row):
-                    k = self.cc.traces[index][i]
-                    t1_num = fs.fadd(t1_num, fs.fmul(fs.fsub(value, ood_states[0][i]), k))
-                    t2_num = fs.fadd(t2_num, fs.fmul(fs.fsub(value, ood_states[1][i]), k))
-                t1_den = fs.fsub(x, self.z[0])
-                t2_den = fs.fsub(x, self.z[1])
-                den.append(fs.fmul(t1_den, t2_den))
-                num.append(fs.fadd(fs.fmul(t1_num, t2_den), fs.fmul(t2_num, t1_den)))
-            if queried_aux_vec is not None:
-                ood_aux = ood_aux_frames[index]
-                aux_states = [ood_aux.current(), ood_aux.next()]
-                cc_offset = table.num_columns()
-                aux_table = queried_aux_vec[index]
-                for j, (row, x) in enumerate(zip(aux_table.rows(), self.x_coordinates)):
-                    t1_num = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
-                    t2_num = t1_num
-                    for i, value in enumerate(row):
-                        k = self.cc.traces[index][cc_offset + i]
-                        t1_num = fs.fadd(t1_num, fs.fmul(fs.fsub(value, aux_states[0][i]), k))
-                        t2_num = fs.fadd(t2_num, fs.fmul(fs.fsub(value, aux_states[1][i]), k))
-                    t1_den = fs.fsub(x, self.z[0])
-                    t2_den = fs.fsub(x, self.z[1])
-                    num[j] = fs.fadd(
-                        num[j],
-                        fs.fadd(fs.fmul(t1_num, t2_den), fs.fmul(t2_num, t1_den)),
-                    )
-            results_num.append(num)
-            if result_den is None:
-                result_den = den
-        final_num = results_num[0]
-        for other in results_num[1:]:
-            final_num = [fs.fadd(a, b) for a, b in zip(final_num, other)]
-        return [fs.fdiv(a, d) for a, d in zip(final_num, result_den)]
+        # one stacked (n_instances, q, w) op set: instances share shapes in
+        # StarkPack, so the per-instance sum collapses into an axis-0 vsum
+        B = self.B
+        d = self.ext_deg
+        n = len(queried_main_vec)
+        w = queried_main_vec[0].num_columns()
+
+        def stack_tables(tables, deg_in):
+            flat = [v for t in tables for row in t.rows() for v in row]
+            comps = B.elems_to_limbs(flat, deg_in)
+            q = len(flat) // (n * len(list(tables[0].rows())[0]))
+            wt = len(flat) // (n * q)
+            return B.promote(B.emap(lambda a: a.reshape(n, q, wt), comps), d)
+
+        T = stack_tables(queried_main_vec, 1)  # (n, q, w)
+        ood0 = B.emap(
+            lambda a: a.reshape(n, 1, w),
+            B.elems_to_limbs(
+                [v for f in ood_main_frames for v in f.current()], d
+            ),
+        )
+        ood1 = B.emap(
+            lambda a: a.reshape(n, 1, w),
+            B.elems_to_limbs([v for f in ood_main_frames for v in f.next()], d),
+        )
+        k = B.emap(
+            lambda a: a.reshape(n, 1, w),
+            B.elems_to_limbs([c for kk in self.cc.traces for c in kk[:w]], d),
+        )
+        t1_num, t2_num = self._num_pair(T, ood0, ood1, k)  # (n, q)
+        if queried_aux_vec is not None:
+            wa = len(ood_aux_frames[0].current())
+            A = stack_tables(queried_aux_vec, d)
+            a0 = B.emap(
+                lambda a: a.reshape(n, 1, wa),
+                B.elems_to_limbs(
+                    [v for f in ood_aux_frames for v in f.current()], d
+                ),
+            )
+            a1 = B.emap(
+                lambda a: a.reshape(n, 1, wa),
+                B.elems_to_limbs(
+                    [v for f in ood_aux_frames for v in f.next()], d
+                ),
+            )
+            ka = B.emap(
+                lambda a: a.reshape(n, 1, wa),
+                B.elems_to_limbs(
+                    [c for kk in self.cc.traces for c in kk[w : w + wa]], d
+                ),
+            )
+            u1, u2 = self._num_pair(A, a0, a1, ka)
+            t1_num = B.vadd(t1_num, u1)
+            t2_num = B.vadd(t2_num, u2)
+        num = B.vadd(
+            B.vmul(t1_num, self._t2_den), B.vmul(t2_num, self._t1_den)
+        )
+        final_num = B.vsum(num, axis=0)  # (q,)
+        den = B.vmul(self._t1_den, self._t2_den)
+        out = B.vmul(final_num, B.vinv(den))
+        return B.limbs_to_elems(out, self.ext_deg)
 
     def compose_constraint_evaluations(self, queried_evaluations, ood_evaluations):
-        fs = self.fs
-        num = []
-        den = []
-        z = self.z[0]
-        for row, x in zip(queried_evaluations.rows(), self.x_coordinates):
-            acc = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
-            for i, evaluation in enumerate(row):
-                acc = fs.fadd(
-                    acc, fs.fmul(fs.fsub(evaluation, ood_evaluations[i]), self.cc.constraints[i])
-                )
-            num.append(acc)
-            den.append(fs.fsub(x, z))
-        return [fs.fdiv(a, d) for a, d in zip(num, den)]
+        B = self.B
+        T = self._table_limbs(queried_evaluations, self.ext_deg)
+        ood = self._states_limbs(ood_evaluations)
+        k = self._cc_limbs(self.cc.constraints)
+        num = B.vsum(B.vmul(B.vsub(T, ood), k), axis=-1)
+        den = B.vsub(self._x, B.scalar_to_limbs(self.z[0], self.ext_deg))
+        out = B.vmul(num, B.vinv(den))
+        return B.limbs_to_elems(out, self.ext_deg)
