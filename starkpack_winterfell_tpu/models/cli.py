@@ -28,12 +28,14 @@ def get_example(name: str):
 
         return FibAir, FibProver, lambda i, l: build_fib_trace(l)
     if name == "rescue-chain":
-        from .rescue_chain import CYCLE_LENGTH, RescueChainAir, RescueChainProver, build_chain_trace
+        from .rescue_chain import RescueChainAir, RescueChainProver, build_chain_trace
 
+        # -l is the CHAIN LENGTH (number of hash permutations), matching the
+        # upstream example invocation (rescue -n); trace length = 8 * l
         return (
             RescueChainAir,
             RescueChainProver,
-            lambda i, l: build_chain_trace([i + 1] * 8, l // CYCLE_LENGTH),
+            lambda i, l: build_chain_trace([i + 1] * 8, l),
         )
     if name == "lamport":
         from .lamport import LamportAir, LamportProver, build_lamport_trace, keygen, sign
@@ -54,10 +56,11 @@ def get_example(name: str):
             build_rescue128_chain_trace,
         )
 
+        # -l = chain length (hashes); trace length = 8 * l
         return (
             Rescue128ChainAir,
             Rescue128ChainProver,
-            lambda i, l: build_rescue128_chain_trace([i + 1, i + 2], l // 8),
+            lambda i, l: build_rescue128_chain_trace([i + 1, i + 2], l),
         )
     if name == "merkle128":
         import random as _random
@@ -103,7 +106,10 @@ def main(argv=None):
         "lamport128", "merkle128", "fib-f62", "fib-f128",
     ])
     p.add_argument("-n", "--num-traces", type=int, default=2)
-    p.add_argument("-l", "--trace-length", type=int, default=1024)
+    p.add_argument("-l", "--trace-length", type=int, default=1024,
+                   help="trace length in steps; for rescue-chain/"
+                        "rescue128-chain this is the CHAIN length (hashes), "
+                        "trace = 8*l, matching the reference invocation")
     p.add_argument("-q", "--queries", type=int, default=32)
     p.add_argument("-b", "--blowup", type=int, default=8)
     p.add_argument("-g", "--grinding", type=int, default=0)
@@ -113,7 +119,16 @@ def main(argv=None):
     p.add_argument("--hash", default="blake3_256", choices=sorted(HASHERS))
     p.add_argument("--device", action="store_true",
                    help="run the jitted accelerator pipeline (prover/device.py)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="per-phase prover debug timing (env_logger parity, "
+                        "examples/src/main.rs:23-26)")
     args = p.parse_args(argv)
+    if args.verbose:
+        import logging
+
+        logging.basicConfig(
+            level=logging.DEBUG, format="[%(levelname)s %(name)s] %(message)s"
+        )
 
     air_class, prover_class, build = get_example(args.example)
     hasher = get_hasher(args.hash)
@@ -125,7 +140,7 @@ def main(argv=None):
     t0 = time.perf_counter()
     traces = [build(i, args.trace_length) for i in range(args.num_traces)]
     t1 = time.perf_counter()
-    print(f"Built {args.num_traces} execution traces of {args.trace_length} steps "
+    print(f"Built {args.num_traces} execution traces of {traces[0].length} steps "
           f"in {(t1 - t0) * 1000:.0f} ms")
 
     prover = prover_class(options, hasher)

@@ -12,7 +12,15 @@ the matching FieldBackend, mirroring the reference's generic
 
 from __future__ import annotations
 
+import logging
+import time
+
 import numpy as np
+
+# per-phase wall-clock instrumentation, mirroring the reference's log::debug!
+# lines around every prover phase (prover/src/lib.rs:239-263 etc.); enable
+# with logging.basicConfig(level=logging.DEBUG) or the CLI's --verbose
+logger = logging.getLogger("starkpack_winterfell_tpu.prover")
 
 from ..air.air import AuxTraceRandElements
 from ..errors import ProverError
@@ -83,12 +91,19 @@ class Prover:
         domain = StarkDomain(airs[max_idx], B)
 
         # Phase 1: trace commitment (lib.rs:615-670)
+        _t = time.perf_counter()
         main_segments = [t.main_segment_limbs(B) for t in traces]
         main_polys, main_ldes = interpolate_and_lde(
             main_segments, domain.domain_offset, domain.trace_to_lde_blowup, B
         )
         main_tree = commit_to_comb_rows(main_ldes, self.hasher, 1, B)
         channel.commit_trace(main_tree.root())
+        logger.debug(
+            "committed to %d extended execution trace(s) of %d columns and 2^%d "
+            "steps in %.0f ms", n, traces[0].width, domain.lde_size.bit_length() - 1,
+            (time.perf_counter() - _t) * 1e3,
+        )
+        _t = time.perf_counter()
 
         traces_polys = [{"main": p, "aux": []} for p in main_polys]
         traces_ldes = [{"main": l, "aux": []} for l in main_ldes]
@@ -122,6 +137,11 @@ class Prover:
                 traces_ldes[i]["main"], traces_ldes[i]["aux"], domain
             )
             columns_divisors.append((columns, divisors))
+        logger.debug(
+            "evaluated constraints over domain of 2^%d elements in %.0f ms",
+            domain.ce_size.bit_length() - 1, (time.perf_counter() - _t) * 1e3,
+        )
+        _t = time.perf_counter()
 
         # Phase 3: composition & commitment (lib.rs:422-475)
         comb_polys = []
@@ -153,6 +173,12 @@ class Prover:
         )
         constraint_tree = commit_to_rows(comp_lde, self.hasher, ext_deg, B)
         channel.commit_constraints(constraint_tree.root())
+        logger.debug(
+            "converted constraint evaluations into %d composition polynomial "
+            "columns and committed in %.0f ms", num_cols,
+            (time.perf_counter() - _t) * 1e3,
+        )
+        _t = time.perf_counter()
 
         # Phase 4: OOD evaluation + DEEP (lib.rs:476-535)
         z = channel.get_ood_point()
@@ -179,6 +205,12 @@ class Prover:
                 f"DEEP composition degree {deep.degree()} != {trace_length - 2}"
             )
 
+        logger.debug(
+            "built DEEP composition polynomial of degree %d in %.0f ms",
+            trace_length - 2, (time.perf_counter() - _t) * 1e3,
+        )
+        _t = time.perf_counter()
+
         # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
         deep_evaluations = B.evaluate_poly_with_offset(
             deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
@@ -191,6 +223,13 @@ class Prover:
                 options.to_fri_options(), self.hasher, B.F, spec, ext_deg
             )
             fri_prover.build_layers(channel, deep_evaluations)
+
+        logger.debug(
+            "computed %d FRI layers from composition polynomial evaluations "
+            "in %.0f ms", options.to_fri_options().num_fri_layers(domain.lde_size),
+            (time.perf_counter() - _t) * 1e3,
+        )
+        _t = time.perf_counter()
 
         # Phase 7: PoW + query positions (lib.rs:574-577)
         channel.grind_query_seed()
@@ -209,6 +248,10 @@ class Prover:
             )
         constraint_queries = build_constraint_queries(
             comp_lde, constraint_tree, query_positions, ext_deg, B
+        )
+        logger.debug(
+            "determined %d query positions and built proof object in %.0f ms",
+            len(query_positions), (time.perf_counter() - _t) * 1e3,
         )
         return channel.build_proof(trace_queries, constraint_queries, fri_proof)
 

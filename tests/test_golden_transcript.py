@@ -31,7 +31,7 @@ GOLDEN = [
      "a425c4a35f397d16ce2c95e63fce9c8441b73a5b38278a9862bdc6d6bee3b7ba"),
     (("perm", "blake3_256", 2, 64, 16, 8, 0, 2, 4, 31), 10630,
      "60fa6e63e6beb4b2e1fa236b43c78c32db5cbe97bd886928ff2f91241da39389"),
-    (("rescue-chain", "rp64_256", 1, 512, 16, 8, 0, 1, 4, 31), 16228,
+    (("rescue-chain", "rp64_256", 1, 64, 16, 8, 0, 1, 4, 31), 16228,
      "771e5cff6db3de538449fd13f420f68fc3d4e2a4aedd08b1a011434343168152"),
     (("fib-f62", "rp62_248", 2, 64, 16, 8, 0, 1, 4, 31), 6893,
      "a9b22d575f02da251758b7357cf0dcd9637f7a560cc0babe09ce53dafaa7d9c4"),
@@ -39,7 +39,7 @@ GOLDEN = [
      "a4d69cde6e59c04a27df837731abd7b310591523224eb53b8f60396683c39a40"),
     (("fib-f128", "sha3_256", 2, 64, 16, 8, 0, 1, 4, 31), 8635,
      "73aab7f884ad44c2fe320c4632d60223459fc5f0bd77006e63bd5846e0ed736b"),
-    (("rescue128-chain", "sha3_256", 1, 64, 16, 8, 0, 2, 4, 31), 13144,
+    (("rescue128-chain", "sha3_256", 1, 8, 16, 8, 0, 2, 4, 31), 13144,
      "bc58f34f2f3a5e96ddd7faab4633d26585af398ea7c52bbd92a9270cb16a396f"),
     (("lamport128", "sha3_256", 1, 128, 16, 8, 0, 1, 4, 31), 14553,
      "3f6228806d9ff414e269bf279efdcf75f3f2e86f621fd476ea7c302b6b3908e8"),
