@@ -182,10 +182,20 @@ def _canon(lo, hi, xp):
 # ---------------------------------------------------------------------------
 
 
+def _xp2(x, y):
+    """Namespace for a binary op: jnp if EITHER operand is traced/jax —
+    host-numpy constants mixed into jitted AIR code must not force np."""
+    if isinstance(x, (np.ndarray, np.generic)) and isinstance(y, (np.ndarray, np.generic)):
+        return np
+    import jax.numpy as jnp
+
+    return jnp
+
+
 def add(a, b):
     alo, ahi = a
     blo, bhi = b
-    xp = _xp(alo)
+    xp = _xp2(alo, blo)
     slo, shi, co = _add64(alo, ahi, blo, bhi, xp)
     slo, shi, _ = _add64(slo, shi, co * _U32(EPS), xp.zeros_like(slo), xp)
     return _canon(slo, shi, xp)
@@ -194,7 +204,7 @@ def add(a, b):
 def sub(a, b):
     alo, ahi = a
     blo, bhi = b
-    xp = _xp(alo)
+    xp = _xp2(alo, blo)
     rlo, rhi, bo = _sub64(alo, ahi, blo, bhi, xp)
     rlo, rhi, _ = _sub64(rlo, rhi, bo * _U32(EPS), xp.zeros_like(rlo), xp)
     return rlo, rhi
@@ -209,7 +219,7 @@ def neg(a):
 def mul(a, b):
     alo, ahi = a
     blo, bhi = b
-    xp = _xp(alo)
+    xp = _xp2(alo, blo)
     c0, c1, c2, c3 = _mul64_full(alo, ahi, blo, bhi, xp)
     return _reduce128(c0, c1, c2, c3, xp)
 

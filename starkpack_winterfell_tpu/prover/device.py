@@ -173,7 +173,11 @@ def build_constraint_kernel(air0, domain, ext_deg, n, hasher, boundary_template)
                 for w_i in range(main_lde[0][0].shape[1])
             ]
             frame = EvaluationFrame(cur, nxt)
-            pv = [Felt((jnp.broadcast_to(c[0], (n, ce)), jnp.broadcast_to(c[1], (n, ce)))) for c in consts["periodic"]]
+            pv = [
+                Felt(((jnp.broadcast_to(c[0], (n, ce)),
+                       jnp.broadcast_to(c[1], (n, ce))),))
+                for c in consts["periodic"]
+            ]
 
             t_result = [None] * K
             air0.evaluate_transition(frame, pv, t_result)
@@ -393,6 +397,22 @@ class DeviceProver:
 
         if traces[0].num_aux_segments() > 0:
             return _HostProver._generate_proof(self, n, traces, self.options().field_extension)
+        length = traces[0].length
+        if length >= 16384:
+            # large traces: the gather-free four-step pipeline (device_big)
+            from . import device_big
+            from ..math import scalar as _fs
+
+            options = self.options()
+            ext_deg = options.field_extension
+            pub0 = self.get_pub_inputs(traces[0])
+            air0 = self.air_class(traces[0].get_info(), pub0, options)
+            dummy_ccs = [
+                _fs.zero(ext_deg) if ext_deg > 1 else 0
+            ] * air0.context.num_assertions()
+            bt = air0.get_boundary_constraints(None, dummy_ccs)
+            if device_big.supported(air0, bt, length, ext_deg):
+                return device_big.prove_big(self, n, traces)
         return DeviceProver._generate_proof_device(self, n, traces)
 
     def _generate_proof_device(self, n, traces):
@@ -490,86 +510,114 @@ class DeviceProver:
         deep_evals = k4(polys, comp_columns, z_l, zg_l, tz, tzg, hz, cc_traces, cc_constraints)
 
         # ---- Phase 5: FRI ----
-        fri_options = options.to_fri_options()
-        N = fri_options.folding_factor
-        evals = deep_evals
-        fri_layers = []  # (host transposed, MerkleTree)
-        cur_L = L
-        for _ in range(fri_options.num_fri_layers(L)):
-            kh = fri_hash_kernel(cur_L, N, ext_deg, hasher)
-            transposed, flevels = kh(evals)
-            tree = MerkleTree(flevels, hasher)
-            channel.commit_fri_layer(tree.root())
-            alpha = channel.draw_fri_alpha()
-            kf = fri_fold_kernel(cur_L, N, domain.domain_offset, ext_deg)
-            evals = kf(transposed, _to_dev(scalar_to_limbs(alpha, ext_deg)))
-            fri_layers.append((transposed, tree))
-            cur_L //= N
-
-        # remainder
-        coeffs = ntt.interpolate_poly_with_offset(evals, domain.domain_offset)
-        rem_size = evals[0][0].shape[-1] // fri_options.blowup_factor
-        coeffs_h = tuple((np.asarray(c[0][:rem_size]), np.asarray(c[1][:rem_size])) for c in coeffs)
-        remainder_elements = limbs_to_elems(coeffs_h, ext_deg)
-        channel.commit_fri_layer(hasher.hash_elements(remainder_elements))
+        fri_layers, remainder_elements = run_fri_phase(
+            channel, deep_evals, options, domain, ext_deg, hasher
+        )
 
         # ---- Phase 6: PoW + queries + assembly ----
         channel.grind_query_seed()
         positions = channel.get_query_positions()
+        return assemble_proof(
+            channel, positions, lde, comp_lde, main_tree, constraint_tree,
+            fri_layers, remainder_elements, options, domain, n, ext_deg
+        )
 
-        # FRI proof (gather only the queried rows off-device)
-        proof_layers = []
-        pos = list(positions)
-        dsize = L
-        for transposed_dev, tree in fri_layers:
-            pos = fold_positions(pos, dsize, N)
-            mp = tree.prove_batch(pos)
-            pidx = np.array(pos)
-            gathered = tuple(
-                (np.asarray(c[0][pidx]), np.asarray(c[1][pidx])) for c in transposed_dev
-            )
-            rows = []
-            for i in range(len(pos)):
-                row_limbs = tuple((c[0][i], c[1][i]) for c in gathered)
-                rows.append(limbs_to_elems(row_limbs, ext_deg))
-            proof_layers.append(FriProofLayer.new(rows, mp, ext_deg))
-            dsize //= N
-        fri_proof = FriProof.new(proof_layers, remainder_elements, 1)
 
-        # trace + constraint queries: device gather of queried rows only
-        pidx = np.array(positions)
-        main_rows = tuple(
-            (np.asarray(c[0][:, :, pidx]), np.asarray(c[1][:, :, pidx])) for c in lde
-        )  # (n, w, q)
-        from ..air.proof import JointTraceQueries
+def run_fri_phase(channel, deep_evals, options, domain, ext_deg, hasher):
+    """Phase 5: FRI layer commit/fold loop + remainder (shared by the small
+    and big device pipelines).  Returns ([(transposed_dev, MerkleTree)],
+    remainder_elements)."""
+    from ..crypto.merkle import MerkleTree
+    from ..ops import ntt
 
-        traces_states = []
-        for i in range(n):
-            rows = []
-            for qi in range(len(positions)):
-                row_limbs = tuple((c[0][i, :, qi], c[1][i, :, qi]) for c in main_rows)
-                rows.append(limbs_to_elems(row_limbs, 1))
-            traces_states.append(rows)
-        comb_states = []
+    L = deep_evals[0][0].shape[-1]
+    fri_options = options.to_fri_options()
+    N = fri_options.folding_factor
+    evals = deep_evals
+    fri_layers = []
+    cur_L = L
+    for _ in range(fri_options.num_fri_layers(L)):
+        kh = fri_hash_kernel(cur_L, N, ext_deg, hasher)
+        transposed, flevels = kh(evals)
+        tree = MerkleTree(flevels, hasher)
+        channel.commit_fri_layer(tree.root())
+        alpha = channel.draw_fri_alpha()
+        kf = fri_fold_kernel(cur_L, N, domain.domain_offset, ext_deg)
+        evals = kf(transposed, _to_dev(scalar_to_limbs(alpha, ext_deg)))
+        fri_layers.append((transposed, tree))
+        cur_L //= N
+
+    coeffs = ntt.interpolate_poly_with_offset(evals, domain.domain_offset)
+    rem_size = evals[0][0].shape[-1] // fri_options.blowup_factor
+    coeffs_h = tuple(
+        (np.asarray(c[0][:rem_size]), np.asarray(c[1][:rem_size])) for c in coeffs
+    )
+    remainder_elements = limbs_to_elems(coeffs_h, ext_deg)
+    channel.commit_fri_layer(hasher.hash_elements(remainder_elements))
+    return fri_layers, remainder_elements
+
+
+def assemble_proof(channel, positions, lde, comp_lde, main_tree, constraint_tree,
+                   fri_layers, remainder_elements, options, domain, n, ext_deg):
+    """Phase 6 tail: gather ONLY the queried rows off-device and build the
+    StarkProof (shared by the small and big device pipelines)."""
+    from ..air.proof import JointTraceQueries, Queries
+    from ..fri.prover import fold_positions
+    from ..fri.proof import FriProof, FriProofLayer
+
+    fri_options = options.to_fri_options()
+    N = fri_options.folding_factor
+    L = domain.lde_size
+
+    proof_layers = []
+    pos = list(positions)
+    dsize = L
+    for transposed_dev, tree in fri_layers:
+        pos = fold_positions(pos, dsize, N)
+        mp = tree.prove_batch(pos)
+        pidx = np.array(pos)
+        gathered = tuple(
+            (np.asarray(c[0][pidx]), np.asarray(c[1][pidx])) for c in transposed_dev
+        )
+        rows = []
+        for i in range(len(pos)):
+            row_limbs = tuple((c[0][i], c[1][i]) for c in gathered)
+            rows.append(limbs_to_elems(row_limbs, ext_deg))
+        proof_layers.append(FriProofLayer.new(rows, mp, ext_deg))
+        dsize //= N
+    fri_proof = FriProof.new(proof_layers, remainder_elements, 1)
+
+    pidx = np.array(positions)
+    main_rows = tuple(
+        (np.asarray(c[0][:, :, pidx]), np.asarray(c[1][:, :, pidx])) for c in lde
+    )  # (n, w, q)
+    traces_states = []
+    for i in range(n):
+        rows = []
         for qi in range(len(positions)):
-            row = []
-            for ts in traces_states:
-                row.extend(ts[qi])
-            comb_states.append(row)
-        trace_queries = [
-            JointTraceQueries.new(main_tree.prove_batch(positions), comb_states, traces_states)
-        ]
+            row_limbs = tuple((c[0][i, :, qi], c[1][i, :, qi]) for c in main_rows)
+            rows.append(limbs_to_elems(row_limbs, 1))
+        traces_states.append(rows)
+    comb_states = []
+    for qi in range(len(positions)):
+        row = []
+        for ts in traces_states:
+            row.extend(ts[qi])
+        comb_states.append(row)
+    trace_queries = [
+        JointTraceQueries.new(main_tree.prove_batch(positions), comb_states, traces_states)
+    ]
 
-        comp_rows = tuple(
-            (np.asarray(c[0][:, pidx]), np.asarray(c[1][:, pidx])) for c in comp_lde
-        )  # (num_cols, q)
-        crows = []
-        for qi in range(len(positions)):
-            row_limbs = tuple((c[0][:, qi], c[1][:, qi]) for c in comp_rows)
-            crows.append(limbs_to_elems(row_limbs, ext_deg))
-        constraint_queries = Queries.new(constraint_tree.prove_batch(positions), crows, ext_deg)
+    comp_rows = tuple(
+        (np.asarray(c[0][:, pidx]), np.asarray(c[1][:, pidx])) for c in comp_lde
+    )  # (num_cols, q)
+    crows = []
+    for qi in range(len(positions)):
+        row_limbs = tuple((c[0][:, qi], c[1][:, qi]) for c in comp_rows)
+        crows.append(limbs_to_elems(row_limbs, ext_deg))
+    constraint_queries = Queries.new(constraint_tree.prove_batch(positions), crows, ext_deg)
 
-        return channel.build_proof(trace_queries, constraint_queries, fri_proof)
+    return channel.build_proof(trace_queries, constraint_queries, fri_proof)
 
 
 def _stack_scalars(rows, ext_deg, squeeze=False):
