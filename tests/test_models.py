@@ -254,3 +254,15 @@ def test_trace_validate():
     prover = prover_class(options, None)
     a = air_class(t.get_info(), prover.get_pub_inputs(t), options)
     assert t.validate(a)
+
+
+def test_rescue_chain_scan_builder_matches_host():
+    """The lax.scan device trace builder (rescue_chain.py) is bit-identical
+    to the python reference loop."""
+    import numpy as np
+
+    from starkpack_winterfell_tpu.models.rescue_chain import build_chain_trace
+
+    th = build_chain_trace([3, 1, 4, 1, 5, 9, 2, 6], 64, device=False)
+    td = build_chain_trace([3, 1, 4, 1, 5, 9, 2, 6], 64, device=True)
+    assert np.array_equal(th._columns, td._columns)
