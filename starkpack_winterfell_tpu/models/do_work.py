@@ -8,6 +8,7 @@ import numpy as np
 
 from ..air import Air, AirContext, Assertion, TransitionConstraintDegree
 from ..math import scalar as fs
+from .. import native as _native
 from ..prover.pipeline import Prover
 from ..prover.trace import TraceTable
 
@@ -48,10 +49,18 @@ def build_do_work_trace(start: int, trace_length: int) -> TraceTable:
     chain, the other columns replicate the start value.  Built vectorized."""
     width = 10
     col = np.empty(trace_length, dtype=np.uint64)
-    x = start % fs.P
-    for i in range(trace_length):
-        col[i] = x
-        x = (pow(x, 3, fs.P) + 42) % fs.P
+    lib = _native.get_builders()
+    if lib is not None:
+        import ctypes
+
+        lib.do_work_chain(
+            start % fs.P, trace_length, col.ctypes.data_as(ctypes.c_void_p)
+        )
+    else:
+        x = start % fs.P
+        for i in range(trace_length):
+            col[i] = x
+            x = (pow(x, 3, fs.P) + 42) % fs.P
     columns = np.broadcast_to(
         np.uint64(start % fs.P), (width, trace_length)
     ).copy()

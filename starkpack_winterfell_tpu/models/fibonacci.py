@@ -48,6 +48,15 @@ def build_fib_trace(length: int) -> TraceTable:
     each row holds two consecutive terms; `length` is the number of trace
     rows)."""
     assert length & (length - 1) == 0
+    from .. import native as _native
+
+    lib = _native.get_builders()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty((2, length), dtype=np.uint64)
+        lib.fib_trace(length, out.ctypes.data_as(ctypes.c_void_p))
+        return TraceTable.from_u64_columns(out)
     reg1 = np.empty(length, dtype=np.uint64)
     reg2 = np.empty(length, dtype=np.uint64)
     a, b = 1, 1

@@ -111,19 +111,23 @@ def build_chain_trace(seed, num_permutations: int, device=None) -> TraceTable:
     """Trace rows: row 8c+k = state after k rounds of permutation c; row
     8c+7 holds the permutation output, copied into row 8(c+1).
 
-    Long chains build on the accelerator as a ``lax.scan`` over
-    permutations (the chain is sequential, but every round is vectorized
-    field ops) — bit-identical to the host loop, ~100x faster at 2^20
-    (the reference parallelizes trace build across fragments,
-    trace_table.rs:274-317; a single chain has no parallelism to mine, so
-    the win here is the accelerator's scalar throughput)."""
+    The chain is one long scalar dependency (x^(1/7) is ~98 serial
+    multiplies per round), so no accelerator width can hide the latency —
+    the reference builds it with a sequential row scan on the CPU
+    (trace_table.rs:230-243).  Long chains therefore use the native C
+    builder (native/builders.cpp, bit-identical, ~300x the Python loop);
+    a ``lax.scan`` accelerator build (`device=True`) is kept as the
+    no-compiler fallback."""
+    native = _build_chain_trace_native(seed, num_permutations)
+    if native is not None:
+        return native
     if device is None:
         device = num_permutations >= (1 << 12)
     if device:
         try:
             return _build_chain_trace_scan(seed, num_permutations)
-        except Exception:
-            pass  # no accelerator/jax issue -> host loop
+        except ImportError:
+            pass  # jax unavailable -> host loop; real bugs propagate
     length = CYCLE_LENGTH * num_permutations
     cols = np.zeros((STATE_WIDTH, length), dtype=np.uint64)
     state = [0, 0, 0, 0] + [s % fs.P for s in seed]
@@ -136,6 +140,32 @@ def build_chain_trace(seed, num_permutations: int, device=None) -> TraceTable:
         # rows base+7 is the output; the copy constraint carries it to the
         # next cycle's row 0 (or it is the final row)
     return TraceTable.from_u64_columns(cols)
+
+
+def _build_chain_trace_native(seed, num_permutations: int):
+    """Native sequential builder (native/builders.cpp rescue_chain_trace);
+    None if no C compiler is available."""
+    import ctypes
+
+    from ..native import get_builders
+
+    lib = get_builders()
+    if lib is None:
+        return None
+    length = CYCLE_LENGTH * num_permutations
+    seed8 = np.asarray([s % fs.P for s in seed], dtype=np.uint64)
+    mds = np.asarray(MDS, dtype=np.uint64)
+    ark1 = np.asarray(ARK1, dtype=np.uint64)
+    ark2 = np.asarray(ARK2, dtype=np.uint64)
+    out = np.empty((STATE_WIDTH, length), dtype=np.uint64)
+    vp = ctypes.c_void_p
+    lib.rescue_chain_trace(
+        seed8.ctypes.data_as(vp), num_permutations,
+        mds.ctypes.data_as(vp), ark1.ctypes.data_as(vp),
+        ark2.ctypes.data_as(vp), _rescue.INV_ALPHA,
+        out.ctypes.data_as(vp),
+    )
+    return TraceTable.from_u64_columns(out)
 
 
 _SCAN_CACHE = {}

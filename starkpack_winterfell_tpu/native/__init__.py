@@ -53,3 +53,27 @@ def get_blake3():
             lib.b3_compress_batch.restype = None
         _CACHE["b3"] = lib
     return _CACHE["b3"]
+
+
+def get_builders():
+    """ctypes handle for the sequential-chain trace builders
+    (builders.cpp), or None if no compiler is available.
+
+    The chain workloads are one long scalar dependency (rescue_chain's
+    x^(1/7) is ~98 serial multiplies per round), so neither the TPU nor
+    SIMD width helps — the reference builds them with a sequential row
+    scan on the CPU (prover/src/trace/trace_table.rs:230-243); these are
+    the native equivalent."""
+    if "builders" not in _CACHE:
+        lib = _build("starkbuilders", "builders.cpp")
+        if lib is not None:
+            u64 = ctypes.c_uint64
+            p = ctypes.c_void_p
+            lib.rescue_chain_trace.argtypes = [p, u64, p, p, p, u64, p]
+            lib.rescue_chain_trace.restype = None
+            lib.do_work_chain.argtypes = [u64, u64, p]
+            lib.do_work_chain.restype = None
+            lib.fib_trace.argtypes = [u64, p]
+            lib.fib_trace.restype = None
+        _CACHE["builders"] = lib
+    return _CACHE["builders"]
