@@ -85,6 +85,10 @@ class PermAir(Air):
 
 
 def _felt_scalar(v):
+    if isinstance(v, Felt):
+        # instance-batched kernels (parallel/full_pipeline.py BatchedAuxRand)
+        # hand the AIR per-instance (n, 1) Felt rand elements directly
+        return v
     deg = 1 if isinstance(v, int) else len(v)
     comps = fs.components(fs.embed(v, deg))
     arr = np.array(comps, dtype=np.uint64).reshape(1, deg)

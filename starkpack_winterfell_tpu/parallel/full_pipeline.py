@@ -1,22 +1,32 @@
-"""Multi-chip full proving step — the distributed prover the reference left
-as a hook (fri/src/proof.rs:93 num_partitions, README.md:43) built out over a
-jax.sharding.Mesh.
+"""Multi-chip full proving pipeline — the distributed prover the reference
+left as a hook (fri/src/proof.rs:93 num_partitions, README.md:43) built over
+a jax.sharding.Mesh.
 
-Sharded phases (the asymptotically dominant ones):
-  P1 trace commitment — instances ride the 'dp' axis (local iNTT + coset
-     LDE per device), the combined-row leaves + Merkle subtrees shard by LDE
-     row blocks, subtree roots all_gather and the tiny top of the tree is
-     replicated (the rayon fan-out of merkle/concurrent.rs:22-70 as ICI
-     collectives).
-  P2/P3 constraint evaluation — the O(n_traces · ce_size · n_constraints)
-     evaluation + divisor multiply + cross-instance aggregation shards the
-     constraint-evaluation domain by contiguous blocks ('dp' reused as the
-     domain axis); each device evaluates the user's AIR on its block and the
-     (ce,)-sized aggregate is reassembled by the collective output layout.
+Gather-free design (round 2): no phase ever materializes an O(total)
+array per device —
 
-The remaining phases (composition iNTT, DEEP, FRI) are O(L) with tiny
-constants and stay single-device; the Fiat-Shamir channel is host-side and
-inherently sequential.  Proof bytes are identical to the host pipeline
+  P1 trace/aux commitment: instances ride the 'dp' axis for the local
+     iNTT + coset LDE, then ONE all_to_all re-shards the LDE from
+     instance-sharded to row-block-sharded (the six-step transpose of
+     prover/src/matrix/segments.rs:232-271 lifted to ICI).  Each device
+     hashes its contiguous row block into a Merkle subtree; only the d
+     subtree roots are all_gathered (merkle/concurrent.rs:22-70 as
+     collectives).  Per-device memory: O(n·w·L/d).
+  P2/P5 constraint evaluation: runs directly on the row-sharded LDE —
+     evaluation frames need only a ppermute of each block's first
+     `blowup` rows from the ring neighbour.  Aux segments, periodic
+     columns and per-instance boundary values are supported; the
+     cross-instance final-coeff combination happens on-device (sum over
+     the unsharded instance axis), which is byte-identical to the host's
+     combine-after-interpolate because the iNTT is linear.
+  P3 composition / DEEP LDE: coefficient columns are evaluated coset-by-
+     coset (each device computes blowup/d cosets = length-sized NTTs),
+     then one all_to_all interleaves cosets into contiguous natural-order
+     row blocks (`sharded_lde_blocks`).
+The tail (OOD + DEEP + FRI + queries, O(L) with small constants) runs
+through the field-generic host path (prover/pipeline.finish_proof); the
+Fiat-Shamir channel is host-side (inherently sequential, tiny).  Proof
+bytes are identical to the host pipeline for every supported config
 (asserted in tests/test_full_pipeline_mesh.py).
 """
 
@@ -27,8 +37,8 @@ import warnings
 import numpy as np
 
 from ..air.transition import EvaluationFrame
-from ..math import scalar as fs
-from ..ops import gl64 as gl, ntt, vec
+from ..errors import ProverError
+from ..ops.backend import get_backend
 from ..ops.felt import Felt
 
 
@@ -39,52 +49,80 @@ def _shard_map():
     return shard_map
 
 
-def sharded_trace_phase(mesh, n, w, length, blowup, offset, hasher):
-    """Returns jitted fn: (lo, hi) of shape (n, w, length) sharded on 'dp'
-    -> (polys, lde, subtree_levels, top_root_levels)."""
+def _tmap(f, *trees):
+    import jax
+
+    return jax.tree.map(f, *trees)
+
+
+class BatchedAuxRand:
+    """AuxTraceRandElements stand-in whose segment elements are Felt arrays
+    shaped (n, 1) — one row per instance — so AIR code written against
+    scalar rand elements (air/src/air/mod.rs:470) runs unchanged inside the
+    instance-batched kernels."""
+
+    def __init__(self, segments):
+        self._segments = segments
+
+    def get_segment_elements(self, idx):
+        return self._segments[idx]
+
+
+# ---------------------------------------------------------------------------
+# P1: sharded interpolate + LDE + combined-row commitment
+# ---------------------------------------------------------------------------
+
+
+def sharded_segment_commit(mesh, B, hasher, n, n_pad, w, length, blowup, offset,
+                           deg):
+    """Returns a jitted fn: comps (deg-tuple of limb-tuples) shaped
+    (n_pad, w, length), sharded on the instance axis ->
+      polys     instance-sharded (n_pad, w, length)
+      lde_rows  row-block-sharded (n_pad, w, L)
+      sub_levels / top_levels (Merkle levels; see assemble_levels)
+    Only the first n instances are hashed into the combined rows
+    (instances n..n_pad are zero padding so the mesh size divides)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from ..utils.convert import rows_to_words
-
     d = mesh.devices.size
     L = length * blowup
-    rows_per_dev = L // d
-    sub_depth = rows_per_dev.bit_length() - 1
+    rpd = L // d
+    sub_depth = rpd.bit_length() - 1
 
-    def local(lo, hi):
-        polys = ntt.interpolate_poly(((lo, hi),))
-        lde = ntt.evaluate_poly_with_offset(polys, offset, blowup)
-        lde_lo, lde_hi = lde[0]
-        all_lo = jax.lax.all_gather(lde_lo, "dp", axis=0, tiled=True)  # (n, w, L)
-        all_hi = jax.lax.all_gather(lde_hi, "dp", axis=0, tiled=True)
-        dev = jax.lax.axis_index("dp")
-        start = dev * rows_per_dev
-        my_lo = jax.lax.dynamic_slice_in_dim(all_lo, start, rows_per_dev, axis=2)
-        my_hi = jax.lax.dynamic_slice_in_dim(all_hi, start, rows_per_dev, axis=2)
-        rlo = jnp.transpose(my_lo, (2, 0, 1)).reshape(rows_per_dev, n * w)
-        rhi = jnp.transpose(my_hi, (2, 0, 1)).reshape(rows_per_dev, n * w)
-        words = rows_to_words(((rlo, rhi),), 1)
-        leaves = hasher.hash_words(words, n * w * 8)
+    def local(comps):
+        polys = B.interpolate_poly(comps)
+        lde = B.evaluate_poly_with_offset(polys, offset, blowup)
+        rows = _tmap(
+            lambda a: jax.lax.all_to_all(a, "dp", split_axis=2, concat_axis=0,
+                                         tiled=True),
+            lde,
+        )  # (n_pad, w, rpd) per device = global row block for all instances
+        real = _tmap(lambda a: a[:n], rows)
+        rt = _tmap(lambda a: jnp.transpose(a, (2, 0, 1)).reshape(rpd, n * w),
+                   real)
+        words = B.rows_to_words(rt, deg)
+        leaves = hasher.hash_words(words, n * w * deg * B.ELEMENT_BYTES)
         sub_levels = [leaves]
         cur = leaves
         for _ in range(sub_depth):
             cur = hasher.merge_words(cur[0::2], cur[1::2])
             sub_levels.append(cur)
-        roots = jax.lax.all_gather(cur[0], "dp", axis=0)  # (d, 8) replicated
+        roots = jax.lax.all_gather(cur[0], "dp", axis=0)  # (d, words) replicated
         top_levels = [roots]
         top = roots
         while top.shape[0] > 1:
             top = hasher.merge_words(top[0::2], top[1::2])
             top_levels.append(top)
-        return polys[0], (all_lo, all_hi), sub_levels, top_levels
+        return polys, rows, sub_levels, top_levels
 
     fn = _shard_map()(
         local,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp")),
-        out_specs=(P("dp"), P(), [P("dp")] * (sub_depth + 1), P()),
+        in_specs=(P("dp"),),
+        out_specs=(P("dp"), P(None, None, "dp"), [P("dp")] * (sub_depth + 1),
+                   P()),
         check_rep=False,
     )
     return jax.jit(fn)
@@ -94,26 +132,248 @@ def assemble_levels(sub_levels, top_levels):
     """Per-device subtree levels (gathered along axis 0 by the sharding) and
     the replicated top-of-tree -> full Merkle level list (bottom first)."""
     levels = [np.asarray(l) for l in sub_levels]
-    # top_levels[0] is the (d, 8) subtree-roots level == levels[-1] gathered;
-    # append the strictly higher levels
     for t in top_levels[1:]:
         levels.append(np.asarray(t))
     return levels
 
 
-def sharded_constraint_phase(mesh, air0, domain, ext_deg, n, boundary_template):
-    """Returns fn(main_lde, stacked coefficient arrays) -> final combined ce
-    evaluations (ce,), computed with the constraint-evaluation domain sharded
-    by contiguous blocks over 'dp'.
+# ---------------------------------------------------------------------------
+# P3: sharded coset LDE of coefficient columns (composition / DEEP)
+# ---------------------------------------------------------------------------
 
-    All frame/table slicing happens outside the shard_map (strided numpy
-    views + sharded device_put); the per-device body is pure element-wise
-    field arithmetic — no dynamic indexing, which keeps the XLA:CPU
-    partitioner off its pathological compile paths (see CLAUDE.md)."""
+
+def sharded_lde_blocks(mesh, B, C, length, blowup, offset, hasher=None,
+                       deg=1):
+    """Returns a jitted fn: coefficient columns (C, length) comps, replicated
+    -> evals (C, L) comps sharded on the last axis by contiguous blocks.
+
+    Each device evaluates blowup/d cosets (natural index i = q*blowup + r is
+    coset r element q: x_i = (offset*g_L^r) * g_len^q), then one all_to_all
+    interleaves cosets into natural-order row blocks — the reference's
+    per-chunk coset evaluation (math/src/fft/serial.rs:26-57) with the
+    interleave as ICI communication.
+
+    With hasher set, also row-hashes the blocks into Merkle levels
+    (constraint commitment, prover/src/lib.rs:680-715)."""
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
+    d = mesh.devices.size
+    L = length * blowup
+    rpd = L // d
+    if blowup % d != 0 or length % d != 0:
+        raise ProverError(
+            f"sharded LDE needs mesh size {d} to divide blowup {blowup} and "
+            f"length {length}"
+        )
+    b_loc = blowup // d
+    sub_depth = rpd.bit_length() - 1
+
+    # offsets table: T[r, j] = (offset * g_L^r)^j, sharded on the coset axis
+    g_L = B.get_root_of_unity(L.bit_length() - 1)
+    rows = []
+    for r in range(blowup):
+        o_r = (offset * pow(g_L, r, B.P)) % B.P
+        rows.append(B.power_series(o_r, length))
+    offs_tab = tuple(
+        np.stack([rows[r][li] for r in range(blowup)])
+        for li in range(len(rows[0]))
+    )  # limb tuple of (blowup, length)
+
+    def local(comps, offs):
+        # comps: deg-tuple of limb-tuples (C, length), replicated
+        # offs: limb tuple (b_loc, length) — this device's cosets
+        # scaled = comps * offs with broadcasting -> (b_loc, C, length)
+        scaled = tuple(
+            B.bmul(
+                tuple(l[None, :, :] for l in c),
+                tuple(o[:, None, :] for o in offs),
+            )
+            for c in comps
+        )
+        evals = B.evaluate_poly_with_offset(scaled, 1, 1)  # plain NTT, last axis
+        a2a = _tmap(
+            lambda a: jax.lax.all_to_all(a, "dp", split_axis=2, concat_axis=0,
+                                         tiled=True),
+            evals,
+        )  # (blowup, C, length/d)
+        # natural-order rows: out[c, q*blowup + r] = a2a[r, c, q]
+        out = _tmap(
+            lambda a: jnp.transpose(a, (1, 2, 0)).reshape(C, rpd), a2a
+        )
+        if hasher is None:
+            return out
+        rt = _tmap(lambda a: a.T, out)  # (rpd, C)
+        words = B.rows_to_words(rt, deg)
+        leaves = hasher.hash_words(words, C * deg * B.ELEMENT_BYTES)
+        sub_levels = [leaves]
+        cur = leaves
+        for _ in range(sub_depth):
+            cur = hasher.merge_words(cur[0::2], cur[1::2])
+            sub_levels.append(cur)
+        roots = jax.lax.all_gather(cur[0], "dp", axis=0)
+        top_levels = [roots]
+        top = roots
+        while top.shape[0] > 1:
+            top = hasher.merge_words(top[0::2], top[1::2])
+            top_levels.append(top)
+        return out, sub_levels, top_levels
+
+    out_lde = P(None, "dp")
+    if hasher is None:
+        out_specs = out_lde
+    else:
+        out_specs = (out_lde, [P("dp")] * (sub_depth + 1), P())
+    fn = _shard_map()(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("dp")),
+        out_specs=out_specs,
+        check_rep=False,
+    )
+    jitted = jax.jit(fn)
+    return lambda comps: jitted(comps, offs_tab)
+
+
+# ---------------------------------------------------------------------------
+# P2/P5: sharded constraint evaluation on the row-sharded LDE
+# ---------------------------------------------------------------------------
+
+
+def _frames_from_rows(comps, shift, blowup, d, w):
+    """Evaluation frames from a row-block-sharded LDE: the current frame is a
+    local strided slice; the next frame needs the first `blowup` rows of the
+    ring neighbour's block (one ppermute — the only communication)."""
+    import jax
+    import jax.numpy as jnp
+
+    perm = [(i, (i - 1) % d) for i in range(d)]
+
+    def front(a):
+        return jax.lax.ppermute(a[:, :, :blowup], "dp", perm=perm)
+
+    nbr = _tmap(front, comps)
+    ext = _tmap(lambda a, m: jnp.concatenate([a, m], axis=2), comps, nbr)
+    cur = _tmap(lambda a: a[:, :, ::shift], comps)
+    nxt = _tmap(lambda a: a[:, :, blowup::shift], ext)
+    return cur, nxt
+
+
+def _felt_columns(comps, w, B):
+    """(n, w, pts) comps -> list of per-column Felts shaped (n, pts)."""
+    return [
+        Felt(tuple(tuple(l[:, wi] for l in c) for c in comps), B=B)
+        for wi in range(w)
+    ]
+
+
+def sharded_constraint_phase(mesh, B, air0, domain, ext_deg, n, plan):
+    """Returns call(main_rows, aux_rows, stacks) -> final_comb (ce,) comps
+    sharded over 'dp'.  `plan` is the static structure from _build_plan.
+    The per-device body is the instance-batched evaluator of
+    prover/device.py restricted to its ce block."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    d = mesh.devices.size
+    ce = domain.ce_size
+    shift = domain.ce_to_lde_blowup
+    blowup = domain.trace_to_lde_blowup
+    ce_loc = ce // d
+
+    K_main = len(plan["t_main_idx"])
+    K_aux = len(plan["t_aux_idx"])
+    has_aux = plan["has_aux"]
+    w_main = plan["w_main"]
+    w_aux = plan["w_aux"]
+
+    def local(main_rows, aux_rows, t_main, t_aux, singles, seqs, ccs,
+              aux_rand, final_powers, div_tabs, periodic_tabs):
+        cur_m, nxt_m = _frames_from_rows(main_rows, shift, blowup, d, w_main)
+        cur_f = _felt_columns(cur_m, w_main, B)
+        nxt_f = _felt_columns(nxt_m, w_main, B)
+        frame = EvaluationFrame(cur_f, nxt_f)
+        pv = [
+            Felt((tuple(jnp.broadcast_to(l[None, :], (n, ce_loc)) for l in c),),
+                 B=B)
+            for c in periodic_tabs
+        ]
+
+        t_result = [None] * K_main
+        air0.evaluate_transition(frame, pv, t_result)
+        combined = B.vzeros((n, ce_loc), ext_deg, jnp)
+        for k_i, ev in enumerate(t_result):
+            coef = tuple(tuple(l[:, k_i : k_i + 1] for l in c) for c in t_main)
+            combined = B.vadd(combined, B.vmul(coef, ev.c))
+
+        aux_cur_f = None
+        if has_aux:
+            cur_a, nxt_a = _frames_from_rows(aux_rows, shift, blowup, d, w_aux)
+            aux_cur_f = _felt_columns(cur_a, w_aux, B)
+            aux_nxt_f = _felt_columns(nxt_a, w_aux, B)
+            aux_frame = EvaluationFrame(aux_cur_f, aux_nxt_f)
+            rand = BatchedAuxRand(
+                [[Felt(e, B=B) for e in seg] for seg in aux_rand]
+            )
+            a_result = [None] * K_aux
+            air0.evaluate_aux_transition(frame, aux_frame, pv, rand, a_result)
+            for k_i, ev in enumerate(a_result):
+                coef = tuple(tuple(l[:, k_i : k_i + 1] for l in c)
+                             for c in t_aux)
+                combined = B.vadd(combined, B.vmul(coef, ev.c))
+
+        columns = [combined]
+        sv = sq = ci = 0
+        for group in plan["groups"]:
+            acc = B.vzeros((n, ce_loc), ext_deg, jnp)
+            for seg, column, poly_len in group:
+                state = (cur_f if seg == "main" else aux_cur_f)[column].c
+                if poly_len == 1:
+                    value = singles[sv]
+                    sv += 1
+                else:
+                    value = seqs[sq]
+                    sq += 1
+                diff = B.vsub(state, value)
+                acc = B.vadd(acc, B.vmul(ccs[ci], diff))
+                ci += 1
+            columns.append(acc)
+
+        acc = B.vzeros((n, ce_loc), ext_deg, jnp)
+        for col, zt in zip(columns, div_tabs):
+            acc = B.vadd(acc, B.vmul(B.promote(col, ext_deg), (zt,)))
+
+        # cross-instance final-coeff combination (byte-identical to the
+        # host's combine-after-interpolate since the iNTT is linear)
+        fp = tuple(tuple(l[:, None] for l in c) for c in final_powers)
+        weighted = B.vmul(acc, fp)
+        return B.vsum(weighted, axis=0)  # (ce_loc,)
+
+    rows_spec = P(None, None, "dp")
+    fn = _shard_map()(
+        local,
+        mesh=mesh,
+        in_specs=(rows_spec, rows_spec if has_aux else P(), P(), P(), P(),
+                  P(None, "dp"), P(), P(), P(), P("dp"), P("dp")),
+        out_specs=P("dp"),
+        check_rep=False,
+    )
+    # replicated output: np.asarray on a 'dp'-sharded XLA:CPU output
+    # deadlocks the SPMD runtime (round-1 finding, kept from the previous
+    # formulation) — the internal all-gather of a (ce,)-sized vector is free
+    from jax.sharding import NamedSharding
+
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
+
+
+def _build_plan(air0, template, domain, ext_deg, B):
+    """Static constraint structure shared by all instances: boundary groups
+    in host-evaluator order (main groups, then aux groups merged into a
+    main group with an equal divisor or appended —
+    prover/src/constraints/boundary.rs:30-39), plus divisor and periodic
+    tables over the ce domain."""
     from ..air.divisors import ConstraintDivisor
     from ..prover.constraints import (
         PeriodicValueTable,
@@ -122,145 +382,158 @@ def sharded_constraint_phase(mesh, air0, domain, ext_deg, n, boundary_template):
     )
 
     ce = domain.ce_size
-    L = domain.lde_size
-    shift = domain.ce_to_lde_blowup
-    blowup = domain.trace_to_lde_blowup
-    K = air0.context.num_transition_constraints()
-
-    periodic = PeriodicValueTable(air0)
+    groups = []
     divisors = [
         ConstraintDivisor.from_transition(
-            domain.trace_length, air0.context.num_transition_exemptions
+            domain.trace_length, air0.context.num_transition_exemptions,
+            B.spec,
         )
-    ] + [g.divisor for g in boundary_template.main_constraints]
+    ]
+    for g in template.main_constraints:
+        groups.append([("main", c.column, len(c.poly)) for c in g.constraints])
+        divisors.append(g.divisor)
+    has_aux = bool(template.aux_constraints)
+    for g in template.aux_constraints:
+        entry = [("aux", c.column, len(c.poly)) for c in g.constraints]
+        for gi in range(1, len(divisors)):
+            if divisors[gi] == g.divisor:
+                groups[gi - 1].extend(entry)
+                break
+        else:
+            groups.append(entry)
+            divisors.append(g.divisor)
+
     div_tables = []
     for dv in divisors:
         z = _inv_divisor_numerator(dv, domain)
         m = z[0].shape[0]
         idx = np.arange(ce) % m
-        zfull = (np.asarray(z[0])[idx], np.asarray(z[1])[idx])
+        zfull = tuple(np.asarray(l)[idx] for l in z)
         if dv.exemptions:
-            zfull = gl.mul(zfull, _exemptions_eval(dv, domain))
-        div_tables.append(tuple(np.asarray(x) for x in zfull))
-    groups_static = [
-        [(c.column, len(c.poly)) for c in g.constraints]
-        for g in boundary_template.main_constraints
-    ]
+            zfull = B.bmul(zfull, _exemptions_eval(dv, domain))
+        div_tables.append(tuple(np.asarray(l) for l in zfull))
 
-    def local(cur_pair, nxt_pair, t_coeffs, b_single_vals, b_seq_vals, b_coeffs,
-              div_tabs, periodic_tabs):
-        clo, chi = cur_pair
-        nlo, nhi = nxt_pair
-        wdt = clo.shape[1]
-        block = clo.shape[2]
-        cur = [Felt(((clo[:, w_i], chi[:, w_i]),)) for w_i in range(wdt)]
-        nxt = [Felt(((nlo[:, w_i], nhi[:, w_i]),)) for w_i in range(wdt)]
-        frame = EvaluationFrame(cur, nxt)
-        pv = [
-            Felt((tuple(jnp.broadcast_to(x, (n, block)) for x in c),))
-            for c in periodic_tabs
-        ]
-        t_result = [None] * K
-        air0.evaluate_transition(frame, pv, t_result)
-        combined = vec.vzeros((n, block), ext_deg, jnp)
-        for k_i, ev in enumerate(t_result):
-            coef = tuple((c[0][:, k_i : k_i + 1], c[1][:, k_i : k_i + 1]) for c in t_coeffs)
-            combined = vec.vadd(combined, vec.vmul(coef, ev.c))
+    # PeriodicValueTable columns are already expanded to (ce,) limb tuples
+    periodic = PeriodicValueTable(air0, B)
+    periodic_tabs = [tuple(np.asarray(l) for l in c) for c in periodic.columns]
 
-        columns = [combined]
-        sv = sq = a_i = 0
-        for cons in groups_static:
-            acc = vec.vzeros((n, block), ext_deg, jnp)
-            for column, poly_len in cons:
-                state = cur[column].c
-                if poly_len == 1:
-                    val = b_single_vals[sv]
-                    sv += 1
-                    diff = vec.vsub(state, (val,))
-                else:
-                    diff = vec.vsub(state, (b_seq_vals[sq],))
-                    sq += 1
-                ccf = tuple((c[0][:, a_i : a_i + 1], c[1][:, a_i : a_i + 1]) for c in b_coeffs)
-                a_i += 1
-                acc = vec.vadd(acc, vec.vmul(ccf, diff))
-            columns.append(acc)
+    tc = air0.get_transition_constraints(
+        [0] * air0.context.num_transition_constraints()
+    )
+    return {
+        "groups": groups,
+        "div_tables": div_tables,
+        "periodic_tabs": periodic_tabs,
+        "has_aux": has_aux,
+        "w_main": None,
+        "w_aux": None,
+        "t_main_idx": list(range(tc.num_main_constraints())),
+        "t_aux_idx": list(range(tc.num_aux_constraints())),
+    }
 
-        acc = vec.vzeros((n, block), ext_deg, jnp)
-        for col, zt in zip(columns, div_tabs):
-            acc = vec.vadd(acc, vec.vmul(vec.promote(col, ext_deg), (zt,)))
 
-        # the cross-instance final-coeff combination happens on the host:
-        # instance-row slices of ce-sharded intermediates trip an XLA:CPU
-        # SPMD runtime deadlock when n_traces != mesh size (and the
-        # reduction is O(n·ce) — negligible)
-        return acc  # element tuple, (n, ce) blocks
+def _stack_elems(B, rows, deg):
+    """rows: list (n) of lists (k) of field elements -> comps shaped (n, k)."""
+    n, k = len(rows), len(rows[0])
+    flat = [e for row in rows for e in row]
+    comps = B.elems_to_limbs(flat, deg)
+    return tuple(tuple(np.asarray(l).reshape(n, k) for l in c) for c in comps)
 
-    # The body is purely element-wise over the ce axis, so GSPMD partitioning
-    # (jit + sharded inputs/outputs) expresses the same thing as shard_map
-    # with none of the per-device lowering corner cases: XLA propagates the
-    # 'dp' sharding of the frame/table arguments through every op and each
-    # device executes exactly its ce block.
-    # replicated output: np.asarray on a 'dp'-sharded CPU output has been
-    # observed to deadlock in the runtime when n_traces != mesh size; the
-    # internal all-gather of a (ce,)-sized vector is free
-    jitted = jax.jit(local, out_shardings=NamedSharding(mesh, P()))
-    div_sh = NamedSharding(mesh, P("dp"))
-    div_args = [
-        tuple(jax.device_put(x, div_sh) for x in t) for t in div_tables
-    ]
-    per_args = [
-        tuple(jax.device_put(np.asarray(x), div_sh) for x in c)
-        for c in periodic.columns
-    ]
-    frame_sh = NamedSharding(mesh, P(None, None, "dp"))
-    seq_sh = NamedSharding(mesh, P(None, "dp"))
 
-    def call(main_lde, t_coeffs, b_single, b_seq, b_coeffs):
-        lo = np.asarray(main_lde[0])
-        hi = np.asarray(main_lde[1])
-        cur_pair = tuple(
-            jax.device_put(np.ascontiguousarray(x[:, :, ::shift]), frame_sh)
-            for x in (lo, hi)
-        )
-        nxt_pair = tuple(
-            jax.device_put(
-                np.ascontiguousarray(np.roll(x, -blowup, axis=-1)[:, :, ::shift]),
-                frame_sh,
-            )
-            for x in (lo, hi)
-        )
-        b_seq_sharded = [
-            tuple(jax.device_put(np.asarray(x), seq_sh) for x in v) for v in b_seq
-        ]
-        return jitted(
-            cur_pair, nxt_pair, t_coeffs, b_single, b_seq_sharded, b_coeffs,
-            div_args, per_args,
-        )
+def _stack_group_values(plan, per_instance, domain, air0, B, ext_deg):
+    """Per-instance boundary values + composition coefficients stacked in
+    kernel walk order.  Values: singles as (n, 1) comps, sequence polys as
+    their (n, ce) ce-domain evaluations; ccs as (n, 1) ext comps."""
+    n = len(per_instance)
+    ce = domain.ce_size
+    singles, seqs, ccs = [], [], []
 
-    return call
+    # map plan walk order back to (segment, group index, constraint index):
+    # plan groups were built as main groups (extended by merged aux) then
+    # appended aux groups; recover per-constraint source by walking the
+    # same construction.
+    template = per_instance[0]
+    plan_positions = []  # parallel to plan["groups"]: list of lists
+    for gi, g in enumerate(template.main_constraints):
+        plan_positions.append([("main", gi, ci) for ci in range(len(g.constraints))])
+    divisors = [None] + [g.divisor for g in template.main_constraints]
+    for gi, g in enumerate(template.aux_constraints):
+        entry = [("aux", gi, ci) for ci in range(len(g.constraints))]
+        for di in range(1, len(divisors)):
+            if divisors[di] == g.divisor:
+                plan_positions[di - 1].extend(entry)
+                break
+        else:
+            plan_positions.append(entry)
+            divisors.append(g.divisor)
+
+    for group in plan_positions:
+        for src, gi, ci in group:
+            cons = [
+                (b.main_constraints if src == "main" else b.aux_constraints)[
+                    gi
+                ].constraints[ci]
+                for b in per_instance
+            ]
+            val_deg = 1 if src == "main" else ext_deg
+            c0 = cons[0]
+            if len(c0.poly) == 1:
+                singles.append(
+                    _stack_elems(B, [[c.poly[0]] for c in cons], val_deg)
+                )
+            else:
+                rows = []
+                for c in cons:
+                    limbs = B.elems_to_limbs(c.poly, val_deg)
+                    m = len(c.poly)
+                    if m < ce:
+                        evals = B.evaluate_poly_with_offset(
+                            limbs, air0.domain_offset(), ce // m
+                        )
+                    else:
+                        evals = B.evaluate_poly_with_offset(limbs, 1, 1)
+                    step_offset = c.poly_offset[0] * air0.ce_blowup_factor()
+                    mlen = evals[0][0].shape[0]
+                    idx = (np.arange(ce) - step_offset) % mlen
+                    rows.append(
+                        tuple(tuple(np.asarray(l)[idx] for l in comp)
+                              for comp in evals)
+                    )
+                # stack instance rows: comps (n, ce)
+                deg_here = len(rows[0])
+                seqs.append(
+                    tuple(
+                        tuple(
+                            np.stack([rows[i][cd][ld] for i in range(n)])
+                            for ld in range(len(rows[0][cd]))
+                        )
+                        for cd in range(deg_here)
+                    )
+                )
+            ccs.append(_stack_elems(B, [[c.cc] for c in cons], ext_deg))
+    return singles, seqs, ccs
+
+
+# ---------------------------------------------------------------------------
+# Orchestration
+# ---------------------------------------------------------------------------
 
 
 def prove_mesh(prover, n: int, traces, mesh):
-    """Full StarkPack proof with the heavy phases sharded over the mesh;
-    byte-identical to Prover.prove on the host.  f64 main-segment AIRs;
-    n must be a multiple of the mesh size (instances shard on 'dp')."""
-    assert n % mesh.devices.size == 0, "n_traces must be divisible by mesh size"
+    """Full StarkPack proof with every heavy phase sharded over the mesh;
+    byte-identical to Prover.prove on the host.  Supports aux segments and
+    any n (instances are zero-padded to a multiple of the mesh size)."""
+    import jax
     import jax.numpy as jnp
 
     from ..crypto.merkle import MerkleTree
-    from ..fri.prover import FriProver
+    from ..math import scalar as _fs
     from ..prover.channel import ProverChannel
-    from ..prover.commitment import (
-        build_constraint_queries,
-        build_segment_queries,
-        commit_to_rows,
-    )
-    from ..prover.composer import DeepCompositionPoly
-    from ..prover.device import _stack_boundary_values, _stack_scalars
     from ..prover.domain import StarkDomain
-    from ..prover.pipeline import evaluate_columns_at, evaluate_trace_polys_at
-    from ..utils.convert import scalar_to_limbs
+    from ..prover.pipeline import finish_proof
+    from ..air.air import AuxTraceRandElements
 
+    d = mesh.devices.size
     options = prover.options()
     ext_deg = options.field_extension
     hasher = prover.hasher
@@ -270,110 +543,174 @@ def prove_mesh(prover, n: int, traces, mesh):
         prover.air_class(t.get_info(), p, options)
         for t, p in zip(traces, pub_inputs_vec)
     ]
-    channel = ProverChannel(n, airs, pub_elements_vec, hasher, ext_deg)
-    domain = StarkDomain(airs[0])
+    spec = airs[0].field_spec()
+    B = get_backend(spec.name)
+    channel = ProverChannel(n, airs, pub_elements_vec, hasher, ext_deg, spec)
+    domain = StarkDomain(airs[0], B)
     w, length = traces[0].width, traces[0].length
+    if any(t.length != length for t in traces):
+        raise ProverError("prove_mesh requires equal trace lengths")
     blowup = domain.trace_to_lde_blowup
+    L = domain.lde_size
+    offset = domain.domain_offset
+    n_pad = ((n + d - 1) // d) * d
 
-    # ---- P1: sharded trace commitment ----
-    stacked = np.stack([t.main_columns_u64() for t in traces])
-    seg = gl.from_u64(stacked)
-    k1 = sharded_trace_phase(mesh, n, w, length, blowup, domain.domain_offset, hasher)
-    polys_pair, lde_pair, sub_levels, top_levels = k1(
-        jnp.asarray(seg[0]), jnp.asarray(seg[1])
-    )
-    levels = assemble_levels(sub_levels, top_levels)
-    main_tree = MerkleTree(levels, hasher)
+    # ---- P1: sharded main-trace commitment ----
+    main_segments = [t.main_segment_limbs(B) for t in traces]
+    stacked = _stack_segments(main_segments, n_pad)
+    k1 = sharded_segment_commit(mesh, B, hasher, n, n_pad, w, length, blowup,
+                                offset, 1)
+    polys_dev, lde_rows, sub_l, top_l = k1(stacked)
+    main_tree = MerkleTree(assemble_levels(sub_l, top_l), hasher)
     channel.commit_trace(main_tree.root())
 
-    # ---- P2/P3: sharded constraint evaluation ----
-    t_coeffs_list, b_coeffs_list = [], []
-    for _ in range(n):
-        cc = channel.get_constraint_composition_coeffs()
-        t_coeffs_list.append(cc.transition)
-        b_coeffs_list.append(cc.boundary)
-    final_coeff = channel.get_final_polynomial_coeffs()
-    final_powers = [fs.fexp(final_coeff, i) for i in range(n)]
-    dummy_ccs = [fs.zero(ext_deg) if ext_deg > 1 else 0] * airs[0].context.num_assertions()
-    boundary_template = airs[0].get_boundary_constraints(None, dummy_ccs)
-    per_instance = [air.get_boundary_constraints(None, dummy_ccs) for air in airs]
-    b_single, b_seq = _stack_boundary_values(boundary_template, per_instance, domain, airs[0])
+    # ---- aux segments ----
+    aux_trees = []
+    aux_rows_list = []
+    aux_polys_dev = []
+    aux_widths = []
+    aux_rand_objs = [AuxTraceRandElements() for _ in range(n)]
+    for seg_idx in range(traces[0].num_aux_segments()):
+        aux_segments = []
+        for i, trace in enumerate(traces):
+            rand_elements = channel.get_aux_trace_segment_rand_elements(seg_idx)
+            aux_rand_objs[i].add_segment_elements(rand_elements)
+            aux_segments.append(trace.build_aux_segment(seg_idx, rand_elements))
+        w_aux = aux_segments[0][0][0].shape[0]
+        aux_widths.append(w_aux)
+        stacked_aux = _stack_segments(aux_segments, n_pad)
+        k1a = sharded_segment_commit(mesh, B, hasher, n, n_pad, w_aux, length,
+                                     blowup, offset, ext_deg)
+        apolys, arows, asub, atop = k1a(stacked_aux)
+        aux_tree = MerkleTree(assemble_levels(asub, atop), hasher)
+        channel.commit_trace(aux_tree.root())
+        aux_trees.append(aux_tree)
+        aux_rows_list.append(arows)
+        aux_polys_dev.append(apolys)
 
-    k2 = sharded_constraint_phase(mesh, airs[0], domain, ext_deg, n, boundary_template)
-    acc_dev = k2(
-        lde_pair,
-        _stack_scalars(t_coeffs_list, ext_deg),
-        [tuple(jnp.asarray(x) for x in v) for v in b_single],
-        [tuple(jnp.asarray(x) for x in v) for v in b_seq],
-        _stack_scalars(b_coeffs_list, ext_deg),
-    )
-    acc_h = tuple(tuple(np.asarray(l) for l in c) for c in acc_dev)
-    # cross-instance combination with final_coeff powers (host, O(n*ce))
-    final_comb = None
+    # ---- P2/P5: sharded constraint evaluation ----
+    tc_list, boundary_list = [], []
     for i in range(n):
-        row = tuple(tuple(l[i] for l in c) for c in acc_h)
-        from ..utils.convert import scalar_to_limbs as _stl
+        cc = channel.get_constraint_composition_coeffs()
+        tc_list.append(airs[i].get_transition_constraints(cc.transition))
+        boundary_list.append(
+            airs[i].get_boundary_constraints(aux_rand_objs[i], cc.boundary)
+        )
+    final_coeff = channel.get_final_polynomial_coeffs()
+    final_powers = [spec.fexp(final_coeff, i) for i in range(n)]
 
-        kf = vec.vbroadcast(_stl(final_powers[i], ext_deg), row[0][0].shape)
-        term = vec.vmul(row, kf)
-        final_comb = term if final_comb is None else vec.vadd(final_comb, term)
+    plan = _build_plan(airs[0], boundary_list[0], domain, ext_deg, B)
+    plan["w_main"] = w
+    plan["w_aux"] = aux_widths[0] if aux_widths else None
+    singles, seqs, ccs = _stack_group_values(
+        plan, boundary_list, domain, airs[0], B, ext_deg
+    )
+    t_main = _stack_elems(
+        B, [t.main_constraint_coef for t in tc_list], ext_deg
+    )
+    t_aux = (
+        _stack_elems(B, [t.aux_constraint_coef for t in tc_list], ext_deg)
+        if plan["has_aux"] and tc_list[0].num_aux_constraints()
+        else ()
+    )
+    aux_rand_stacks = []
+    if plan["has_aux"]:
+        for seg_idx in range(traces[0].num_aux_segments()):
+            n_r = len(aux_rand_objs[0].get_segment_elements(seg_idx))
+            seg = []
+            for e_idx in range(n_r):
+                seg.append(
+                    _stack_elems(
+                        B,
+                        [[aux_rand_objs[i].get_segment_elements(seg_idx)[e_idx]]
+                         for i in range(n)],
+                        ext_deg,
+                    )
+                )
+            aux_rand_stacks.append(seg)
+    fp_stack = _stack_elems(B, [[p] for p in final_powers], ext_deg)
+    fp_stack = tuple(tuple(l[:, 0] for l in c) for c in fp_stack)  # (n,)
 
-    # ---- P3b..P8: host tail (identical to pipeline.py) ----
+    k2 = sharded_constraint_phase(mesh, B, airs[0], domain, ext_deg, n, plan)
+    main_rows_n = _tmap(lambda a: a[:n], lde_rows)
+    aux_rows_n = (
+        _tmap(lambda a: a[:n], aux_rows_list[0]) if plan["has_aux"] else ()
+    )
+    final_comb_dev = k2(
+        main_rows_n, aux_rows_n, t_main, t_aux, singles, seqs, ccs,
+        aux_rand_stacks, fp_stack, plan["div_tables"], plan["periodic_tabs"],
+    )
+    final_comb = tuple(
+        tuple(np.asarray(l) for l in c) for c in final_comb_dev
+    )
+
+    # ---- P3: composition poly + sharded LDE/commitment ----
     ce = domain.ce_size
     trace_length = domain.trace_length
     num_cols = airs[0].context.num_constraint_composition_columns()
-    coeffs = ntt.interpolate_poly_with_offset(final_comb, domain.domain_offset)
+    coeffs = B.interpolate_poly_with_offset(final_comb, offset)
     comp_columns = tuple(
-        (
-            c[0].reshape(ce // trace_length, trace_length)[:num_cols],
-            c[1].reshape(ce // trace_length, trace_length)[:num_cols],
-        )
-        for c in vec.promote(coeffs, ext_deg)
+        B.cmap(lambda l: l.reshape(ce // trace_length, trace_length)[:num_cols],
+               c)
+        for c in B.promote(coeffs, ext_deg)
     )
-    comp_lde = ntt.evaluate_poly_with_offset(
-        comp_columns, domain.domain_offset, domain.lde_size // trace_length
-    )
-    constraint_tree = commit_to_rows(comp_lde, hasher, ext_deg)
+    comp_blowup = L // trace_length
+    k3 = sharded_lde_blocks(mesh, B, num_cols, trace_length, comp_blowup,
+                            offset, hasher=hasher, deg=ext_deg)
+    comp_lde_rows, csub, ctop = k3(comp_columns)
+    constraint_tree = MerkleTree(assemble_levels(csub, ctop), hasher)
     channel.commit_constraints(constraint_tree.root())
 
-    main_polys_h = (np.asarray(polys_pair[0]), np.asarray(polys_pair[1]))
+    # ---- tail: OOD + DEEP + FRI + queries (host, generic) ----
+    polys_h = tuple(tuple(np.asarray(l)[:n] for l in c) for c in polys_dev)
     traces_polys = [
-        {"main": ((main_polys_h[0][i], main_polys_h[1][i]),), "aux": []}
+        {
+            "main": tuple(tuple(l[i] for l in c) for c in polys_h),
+            "aux": [
+                tuple(tuple(np.asarray(l)[i] for l in c) for c in ap)
+                for ap in aux_polys_dev
+            ],
+        }
         for i in range(n)
     ]
     main_ldes = [
-        ((np.asarray(lde_pair[0])[i], np.asarray(lde_pair[1])[i]),) for i in range(n)
+        tuple(tuple(np.asarray(l)[i] for l in c) for c in main_rows_n)
+        for i in range(n)
     ]
-
-    z = channel.get_ood_point()
-    g_trace = fs.get_root_of_unity(trace_length.bit_length() - 1)
-    zg = fs.fmul(z, g_trace)
-    ood_traces_states = []
-    for tp in traces_polys:
-        at_z = evaluate_trace_polys_at(tp, z, ext_deg)
-        at_zg = evaluate_trace_polys_at(tp, zg, ext_deg)
-        ood_traces_states.append([at_z, at_zg])
-    channel.send_ood_trace_states(ood_traces_states)
-    ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg)
-    channel.send_ood_constraint_evaluations(ood_evaluations)
-
-    deep_coefficients = channel.get_deep_composition_coeffs()
-    deep = DeepCompositionPoly(z, deep_coefficients, ext_deg)
-    deep.add_trace_polys(traces_polys, ood_traces_states)
-    deep.add_composition_poly(comp_columns, ood_evaluations)
-
-    deep_evaluations = ntt.evaluate_poly_with_offset(
-        deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
-    )
-    fri_prover = FriProver(options.to_fri_options(), hasher, ext_deg)
-    fri_prover.build_layers(channel, deep_evaluations)
-    channel.grind_query_seed()
-    query_positions = channel.get_query_positions()
-    fri_proof = fri_prover.build_proof(query_positions)
-    trace_queries = [
-        build_segment_queries(main_ldes, main_tree, query_positions, 1)
+    traces_ldes = [
+        {
+            "main": main_ldes[i],
+            "aux": [
+                tuple(tuple(np.asarray(l)[i] for l in c) for c in ar)
+                for ar in (
+                    [_tmap(lambda a: a[:n], x) for x in aux_rows_list]
+                )
+            ],
+        }
+        for i in range(n)
     ]
-    constraint_queries = build_constraint_queries(
-        comp_lde, constraint_tree, query_positions, ext_deg
+    comp_lde = tuple(tuple(np.asarray(l) for l in c) for c in comp_lde_rows)
+    return finish_proof(
+        channel, airs, domain, options, ext_deg, B, spec, hasher,
+        traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
+        comp_columns, comp_lde, constraint_tree,
     )
-    return channel.build_proof(trace_queries, constraint_queries, fri_proof)
+
+
+def _stack_segments(segments, n_pad):
+    """List (n) of comps (w, len) -> comps (n_pad, w, len), zero-padded."""
+    n = len(segments)
+    deg = len(segments[0])
+
+    def stack_limb(c_idx, l_idx):
+        arrs = [np.asarray(seg[c_idx][l_idx]) for seg in segments]
+        out = np.stack(arrs)
+        if n_pad > n:
+            pad = np.zeros((n_pad - n,) + out.shape[1:], dtype=out.dtype)
+            out = np.concatenate([out, pad])
+        return out
+
+    return tuple(
+        tuple(stack_limb(c, l) for l in range(len(segments[0][c])))
+        for c in range(deg)
+    )

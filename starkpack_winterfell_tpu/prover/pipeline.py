@@ -180,80 +180,97 @@ class Prover:
         )
         _t = time.perf_counter()
 
-        # Phase 4: OOD evaluation + DEEP (lib.rs:476-535)
-        z = channel.get_ood_point()
-        g_trace = B.get_root_of_unity(trace_length.bit_length() - 1)
-        zg = spec.fmul(z, g_trace)
-        ood_traces_states = []
-        for tp in traces_polys:
-            at_z = evaluate_trace_polys_at(tp, z, ext_deg, B)
-            at_zg = evaluate_trace_polys_at(tp, zg, ext_deg, B)
-            ood_traces_states.append([at_z, at_zg])
-        channel.send_ood_trace_states(ood_traces_states)
-
-        ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg, B)
-        channel.send_ood_constraint_evaluations(ood_evaluations)
-
-        deep_coefficients = channel.get_deep_composition_coeffs()
-        deep = DeepCompositionPoly(z, deep_coefficients, ext_deg, B)
-        deep.add_trace_polys(traces_polys, ood_traces_states)
-        deep.add_composition_poly(comp_columns, ood_evaluations)
-        if deep.degree() != trace_length - 2:
-            # mirrors ProverError::... (prover/src/lib.rs:535) — a wrong DEEP
-            # degree means the AIR's constraint degrees are inconsistent
-            raise ProverError(
-                f"DEEP composition degree {deep.degree()} != {trace_length - 2}"
-            )
-
-        logger.debug(
-            "built DEEP composition polynomial of degree %d in %.0f ms",
-            trace_length - 2, (time.perf_counter() - _t) * 1e3,
+        return finish_proof(
+            channel, airs, domain, options, ext_deg, B, spec, self.hasher,
+            traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
+            comp_columns, comp_lde, constraint_tree,
         )
-        _t = time.perf_counter()
 
-        # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
-        deep_evaluations = B.evaluate_poly_with_offset(
-            deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
-        )
-        if spec.name == "f64":
-            fri_prover = FriProver(options.to_fri_options(), self.hasher, ext_deg)
-            fri_prover.build_layers(channel, deep_evaluations)
-        else:
-            fri_prover = LimbFriProver(
-                options.to_fri_options(), self.hasher, B.F, spec, ext_deg
-            )
-            fri_prover.build_layers(channel, deep_evaluations)
 
-        logger.debug(
-            "computed %d FRI layers from composition polynomial evaluations "
-            "in %.0f ms", options.to_fri_options().num_fri_layers(domain.lde_size),
-            (time.perf_counter() - _t) * 1e3,
-        )
-        _t = time.perf_counter()
+def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
+                 traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
+                 comp_columns, comp_lde, constraint_tree):
+    """Phases 4-8 of generate_proof (OOD + DEEP + FRI + queries + assembly),
+    shared by the host pipeline and the mesh pipeline's limb-field tail
+    (prover/src/lib.rs:476-603)."""
+    n = len(airs)
+    trace_length = domain.trace_length
+    _t = time.perf_counter()
 
-        # Phase 7: PoW + query positions (lib.rs:574-577)
-        channel.grind_query_seed()
-        query_positions = channel.get_query_positions()
+    # Phase 4: OOD evaluation + DEEP (lib.rs:476-535)
+    z = channel.get_ood_point()
+    g_trace = B.get_root_of_unity(trace_length.bit_length() - 1)
+    zg = spec.fmul(z, g_trace)
+    ood_traces_states = []
+    for tp in traces_polys:
+        at_z = evaluate_trace_polys_at(tp, z, ext_deg, B)
+        at_zg = evaluate_trace_polys_at(tp, zg, ext_deg, B)
+        ood_traces_states.append([at_z, at_zg])
+    channel.send_ood_trace_states(ood_traces_states)
 
-        # Phase 8: proof assembly (lib.rs:585-603)
-        fri_proof = fri_prover.build_proof(query_positions)
-        trace_queries = [
-            build_segment_queries(main_ldes, main_tree, query_positions, 1, B)
-        ]
-        for seg_idx, aux_tree in enumerate(aux_trees):
-            aux_ldes_i = [traces_ldes[i]["aux"][seg_idx] for i in range(n)]
-            trace_queries.append(
-                build_segment_queries(aux_ldes_i, aux_tree, query_positions,
-                                      ext_deg, B)
-            )
-        constraint_queries = build_constraint_queries(
-            comp_lde, constraint_tree, query_positions, ext_deg, B
+    ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg, B)
+    channel.send_ood_constraint_evaluations(ood_evaluations)
+
+    deep_coefficients = channel.get_deep_composition_coeffs()
+    deep = DeepCompositionPoly(z, deep_coefficients, ext_deg, B)
+    deep.add_trace_polys(traces_polys, ood_traces_states)
+    deep.add_composition_poly(comp_columns, ood_evaluations)
+    if deep.degree() != trace_length - 2:
+        # mirrors ProverError::... (prover/src/lib.rs:535) — a wrong DEEP
+        # degree means the AIR's constraint degrees are inconsistent
+        raise ProverError(
+            f"DEEP composition degree {deep.degree()} != {trace_length - 2}"
         )
-        logger.debug(
-            "determined %d query positions and built proof object in %.0f ms",
-            len(query_positions), (time.perf_counter() - _t) * 1e3,
+
+    logger.debug(
+        "built DEEP composition polynomial of degree %d in %.0f ms",
+        trace_length - 2, (time.perf_counter() - _t) * 1e3,
+    )
+    _t = time.perf_counter()
+
+    # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
+    deep_evaluations = B.evaluate_poly_with_offset(
+        deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
+    )
+    if spec.name == "f64":
+        fri_prover = FriProver(options.to_fri_options(), hasher, ext_deg)
+        fri_prover.build_layers(channel, deep_evaluations)
+    else:
+        fri_prover = LimbFriProver(
+            options.to_fri_options(), hasher, B.F, spec, ext_deg
         )
-        return channel.build_proof(trace_queries, constraint_queries, fri_proof)
+        fri_prover.build_layers(channel, deep_evaluations)
+
+    logger.debug(
+        "computed %d FRI layers from composition polynomial evaluations "
+        "in %.0f ms", options.to_fri_options().num_fri_layers(domain.lde_size),
+        (time.perf_counter() - _t) * 1e3,
+    )
+    _t = time.perf_counter()
+
+    # Phase 7: PoW + query positions (lib.rs:574-577)
+    channel.grind_query_seed()
+    query_positions = channel.get_query_positions()
+
+    # Phase 8: proof assembly (lib.rs:585-603)
+    fri_proof = fri_prover.build_proof(query_positions)
+    trace_queries = [
+        build_segment_queries(main_ldes, main_tree, query_positions, 1, B)
+    ]
+    for seg_idx, aux_tree in enumerate(aux_trees):
+        aux_ldes_i = [traces_ldes[i]["aux"][seg_idx] for i in range(n)]
+        trace_queries.append(
+            build_segment_queries(aux_ldes_i, aux_tree, query_positions,
+                                  ext_deg, B)
+        )
+    constraint_queries = build_constraint_queries(
+        comp_lde, constraint_tree, query_positions, ext_deg, B
+    )
+    logger.debug(
+        "determined %d query positions and built proof object in %.0f ms",
+        len(query_positions), (time.perf_counter() - _t) * 1e3,
+    )
+    return channel.build_proof(trace_queries, constraint_queries, fri_proof)
 
 
 def evaluate_columns_at(columns, z, ext_deg: int, B=None):

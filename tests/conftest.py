@@ -15,7 +15,14 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's MLIR fusion emitters build exponentially slow kernels from deep
+# u32-limb multiply chains (compile hangs >150s and 20s+ executions of
+# byte-sized fusions); the classic emitters compile the same graphs in
+# seconds.  TPU is unaffected.
+if "xla_cpu_use_fusion_emitters" not in flags:
+    flags = (flags + " --xla_cpu_use_fusion_emitters=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -44,3 +44,69 @@ def test_prove_mesh_quadratic_extension():
     host_proof = prover.prove(n, traces)
     mesh_proof = prove_mesh(prover, n, traces, mesh)
     assert mesh_proof.to_bytes() == host_proof.to_bytes()
+
+
+def test_prove_mesh_aux_segment():
+    """Permutation AIR (aux trace segment + aux rand elements + aux
+    transition/boundary constraints) through the sharded pipeline."""
+    from starkpack_winterfell_tpu.models.permutation import (
+        PermAir,
+        PermProver,
+        build_perm_trace,
+    )
+
+    mesh = make_mesh(8)
+    options = ProofOptions(16, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    n = 2
+    traces = [build_perm_trace(i + 1, 16) for i in range(n)]
+    prover = PermProver(options, Blake3_256)
+    host_proof = prover.prove(n, traces)
+    mesh_proof = prove_mesh(prover, n, traces, mesh)
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(PermAir, mesh_proof, pub_inputs, Blake3_256)
+
+
+def test_prove_mesh_n_not_divisible():
+    """n=3 on an 8-device mesh: instances zero-pad to the mesh size."""
+    mesh = make_mesh(8)
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 7)
+    n = 3
+    traces = [build_do_work_trace(i + 2, 16) for i in range(n)]
+    prover = DoWorkProver(options, Blake3_256)
+    host_proof = prover.prove(n, traces)
+    mesh_proof = prove_mesh(prover, n, traces, mesh)
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
+
+
+def test_prove_mesh_f128():
+    """Limb-field (f128) instances through the sharded heavy phases +
+    generic host tail."""
+    from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f128")
+    mesh = make_mesh(8)
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    n = 2
+    traces = [build_trace(16) for _ in range(n)]
+    prover = prover_cls(options, Sha3_256)
+    host_proof = prover.prove(n, traces)
+    mesh_proof = prove_mesh(prover, n, traces, mesh)
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(air_cls, mesh_proof, pub_inputs, Sha3_256)
+
+
+def test_prove_mesh_f62():
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f62")
+    mesh = make_mesh(8)
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    n = 2
+    traces = [build_trace(16) for _ in range(n)]
+    prover = prover_cls(options, Blake3_256)
+    host_proof = prover.prove(n, traces)
+    mesh_proof = prove_mesh(prover, n, traces, mesh)
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
