@@ -393,10 +393,17 @@ class DeviceProver:
     segment AIRs fall back to the host pipeline."""
 
     def prove_device(self, n: int, traces):
-        from .pipeline import Prover as _HostProver
+        pub0 = self.get_pub_inputs(traces[0])
+        air_probe = self.air_class(traces[0].get_info(), pub0, self.options())
+        if (traces[0].num_aux_segments() > 0
+                or air_probe.field_spec().name != "f64"):
+            # aux segments and limb fields run the device-resident mesh
+            # kernels on a single-device mesh (collectives are no-ops);
+            # byte-identical to the host pipeline like every other path
+            from ..parallel.full_pipeline import prove_mesh
+            from ..parallel.mesh import make_mesh
 
-        if traces[0].num_aux_segments() > 0:
-            return _HostProver._generate_proof(self, n, traces, self.options().field_extension)
+            return prove_mesh(self, n, traces, make_mesh(1))
         length = traces[0].length
         if length >= 16384:
             # large traces: the gather-free four-step pipeline (device_big)

@@ -35,3 +35,49 @@ def test_device_matches_host_quadratic():
     dev_proof = prover.prove(1, traces, device=True)
     assert dev_proof.to_bytes() == host_proof.to_bytes()
     assert verify(FibAir, dev_proof, pub_inputs, Blake3_256)
+
+
+def test_device_matches_host_aux_segment():
+    """Aux-segment AIR on device=True (routed through the 1-device mesh
+    kernels — previously a silent host fallback)."""
+    from starkpack_winterfell_tpu.models.permutation import (
+        PermAir,
+        PermProver,
+        build_perm_trace,
+    )
+
+    options = ProofOptions(16, 8, 0, FieldExtension.QUADRATIC, 4, 7)
+    traces = [build_perm_trace(i + 1, 16) for i in range(2)]
+    prover = PermProver(options, Blake3_256)
+    host_proof = prover.prove(2, [build_perm_trace(i + 1, 16) for i in range(2)])
+    dev_proof = prover.prove(2, traces, device=True)
+    assert dev_proof.to_bytes() == host_proof.to_bytes()
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(PermAir, dev_proof, pub_inputs, Blake3_256)
+
+
+def test_device_matches_host_f128():
+    from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f128")
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    traces = [build_trace(16) for _ in range(2)]
+    prover = prover_cls(options, Sha3_256)
+    host_proof = prover.prove(2, traces)
+    dev_proof = prover.prove(2, traces, device=True)
+    assert dev_proof.to_bytes() == host_proof.to_bytes()
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(air_cls, dev_proof, pub_inputs, Sha3_256)
+
+
+def test_device_matches_host_f62():
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f62")
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    traces = [build_trace(16) for _ in range(2)]
+    prover = prover_cls(options, Blake3_256)
+    host_proof = prover.prove(2, traces)
+    dev_proof = prover.prove(2, traces, device=True)
+    assert dev_proof.to_bytes() == host_proof.to_bytes()
