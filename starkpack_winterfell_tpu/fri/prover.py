@@ -121,13 +121,10 @@ def apply_drp(transposed, domain_offset: int, alpha, ext_deg: int):
     return apply_drp_limbs(transposed, domain_offset, alpha_l, ext_deg)
 
 
-def apply_drp_limbs(transposed, domain_offset: int, alpha_l, ext_deg: int):
-    """Core DRP with alpha already in limb form (jit-friendly: alpha may be a
-    traced value)."""
-    m, N = transposed[0][0].shape
-    xp = gl._xp(transposed[0][0])
-    coeffs = ntt.interpolate_poly(transposed)  # per-row iNTT incl. 1/N scale
-    # inverse offsets: (c * w^i)^{-1} for i in 0..m
+def drp_inv_offsets(m: int, N: int, domain_offset: int, xp=np):
+    """(c * w^i)^{-1} for i in 0..m — the per-row evaluation-point scale of
+    the DRP (w = root of the m*N source domain).  Exposed so the sharded
+    mesh FRI can precompute and shard the table by row blocks."""
     src_size = m * N
     g = fs.get_root_of_unity(src_size.bit_length() - 1)
     inv_g = pow(g, fs.P - 2, fs.P)
@@ -135,7 +132,19 @@ def apply_drp_limbs(transposed, domain_offset: int, alpha_l, ext_deg: int):
     inv_offs = ntt.power_series(inv_g, m, xp)
     inv_c_pair = gl.from_int(inv_c, (1,))
     inv_c_pair = (xp.asarray(inv_c_pair[0]), xp.asarray(inv_c_pair[1]))
-    inv_offs = gl.mul(inv_offs, inv_c_pair)  # (m,)
+    return gl.mul(inv_offs, inv_c_pair)  # (m,)
+
+
+def apply_drp_limbs(transposed, domain_offset: int, alpha_l, ext_deg: int,
+                    inv_offs=None):
+    """Core DRP with alpha already in limb form (jit-friendly: alpha may be a
+    traced value).  inv_offs: optional precomputed drp_inv_offsets slice
+    matching transposed's rows (sharded callers pass their local block)."""
+    m, N = transposed[0][0].shape
+    xp = gl._xp(transposed[0][0])
+    coeffs = ntt.interpolate_poly(transposed)  # per-row iNTT incl. 1/N scale
+    if inv_offs is None:
+        inv_offs = drp_inv_offsets(m, N, domain_offset, xp)
     # x_i = inv_offs[i] * alpha  (ext scalar)
     x = vec.vmul(vec.vbroadcast(alpha_l, (m,)), (inv_offs,))
     return vec.horner(coeffs, x, axis=-1)

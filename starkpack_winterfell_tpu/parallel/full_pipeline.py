@@ -23,11 +23,19 @@ array per device —
      coset (each device computes blowup/d cosets = length-sized NTTs),
      then one all_to_all interleaves cosets into contiguous natural-order
      row blocks (`sharded_lde_blocks`).
-The tail (OOD + DEEP + FRI + queries, O(L) with small constants) runs
-through the field-generic host path (prover/pipeline.finish_proof); the
-Fiat-Shamir channel is host-side (inherently sequential, tiny).  Proof
-bytes are identical to the host pipeline for every supported config
-(asserted in tests/test_full_pipeline_mesh.py).
+  P5/P6/P11 DEEP LDE + FRI (f64): the DEEP polynomial's LDE reuses the
+     coset-sharded `sharded_lde_blocks`, and every FRI layer runs as one
+     distributed transpose (GSPMD reshape+swapaxes — the blocked->strided
+     reshard of fri/src/folding/mod.rs:85-117) followed by row-local
+     hash/subtree/DRP-fold in a shard_map (`MeshFriProver`); tiny tail
+     layers fall back to the host prover.
+
+The remaining tail (OOD evaluation, DEEP coefficient build, queries) is
+O(n·w·length) host work; the Fiat-Shamir channel is host-side (inherently
+sequential, tiny).  f62/f128 run the sharded heavy phases and the generic
+host tail (prover/pipeline.finish_proof).  Proof bytes are identical to
+the host pipeline for every supported config (asserted in
+tests/test_full_pipeline_mesh.py).
 """
 
 from __future__ import annotations
@@ -690,11 +698,182 @@ def prove_mesh(prover, n: int, traces, mesh):
         for i in range(n)
     ]
     comp_lde = tuple(tuple(np.asarray(l) for l in c) for c in comp_lde_rows)
+
+    # ---- P5-P6 sharded (f64): DEEP LDE coset-by-coset + sharded FRI ----
+    deep_fri = None
+    if spec.name == "f64":
+        def deep_fri(deep_coefficients):
+            k4 = sharded_lde_blocks(mesh, B, 1, trace_length,
+                                    L // trace_length, offset)
+            cols = tuple(
+                tuple(l.reshape(1, trace_length) for l in c)
+                for c in deep_coefficients
+            )
+            deep_rows = k4(cols)  # comps (1, L) sharded on the last axis
+            deep_evals = _tmap(lambda a: a.reshape(L), deep_rows)
+            fri = MeshFriProver(options.to_fri_options(), hasher, ext_deg,
+                                mesh)
+            fri.build_layers(channel, deep_evals)
+            return fri
+
     return finish_proof(
         channel, airs, domain, options, ext_deg, B, spec, hasher,
         traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
         comp_columns, comp_lde, constraint_tree,
+        deep_lde_and_fri=deep_fri,
     )
+
+
+# ---------------------------------------------------------------------------
+# P11: sharded FRI (f64)
+# ---------------------------------------------------------------------------
+
+
+def _fri_layer_kernels(mesh, N, m, ext_deg, hasher, domain_offset):
+    """Per-layer kernel pair for a folding step at source size m*N:
+      transpose: (L,)-sharded evals -> (m, N) transposed rows, row-blocked
+        (GSPMD jit: XLA lowers the global reshape+swapaxes to collectives —
+        the blocked->strided reshard of fri/src/folding/mod.rs:85-117)
+      fold: row hashing + Merkle subtree + DRP fold, all row-local.
+    Cached per (d, N, m, ext_deg, hasher)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..fri.prover import apply_drp_limbs, drp_inv_offsets
+
+    d = mesh.devices.size
+    m_loc = m // d
+    sub_depth = m_loc.bit_length() - 1
+    L = m * N
+
+    rows_sh = NamedSharding(mesh, P("dp"))
+
+    def transpose(comps):
+        return _tmap(lambda a: jnp.swapaxes(a.reshape(N, m), 0, 1), comps)
+
+    transpose_fn = jax.jit(
+        transpose,
+        in_shardings=(_tmap(lambda _: rows_sh, _dummy_comps(ext_deg)),),
+        out_shardings=_tmap(
+            lambda _: NamedSharding(mesh, P("dp", None)),
+            _dummy_comps(ext_deg),
+        ),
+    )
+
+    def local(transposed, alpha_l, inv_offs_loc):
+        rt = transposed  # comps (m_loc, N)
+        from ..utils.convert import rows_to_words
+
+        words = rows_to_words(rt, ext_deg)
+        leaves = hasher.hash_words(words, N * ext_deg * 8)
+        sub_levels = [leaves]
+        cur = leaves
+        for _ in range(sub_depth):
+            cur = hasher.merge_words(cur[0::2], cur[1::2])
+            sub_levels.append(cur)
+        roots = jax.lax.all_gather(cur[0], "dp", axis=0)
+        top_levels = [roots]
+        top = roots
+        while top.shape[0] > 1:
+            top = hasher.merge_words(top[0::2], top[1::2])
+            top_levels.append(top)
+        folded = apply_drp_limbs(rt, domain_offset, alpha_l, ext_deg,
+                                 inv_offs=inv_offs_loc)
+        return folded, sub_levels, top_levels
+
+    fold_fn = jax.jit(_shard_map()(
+        local,
+        mesh=mesh,
+        in_specs=(P("dp", None), P(), P("dp")),
+        out_specs=(P("dp"), [P("dp")] * (sub_depth + 1), P()),
+        check_rep=False,
+    ))
+    inv_offs = drp_inv_offsets(m, N, domain_offset)
+    return transpose_fn, fold_fn, inv_offs
+
+
+def _dummy_comps(ext_deg):
+    """Pytree skeleton matching ext_deg components of (lo, hi) limb pairs."""
+    return tuple((0, 0) for _ in range(ext_deg))
+
+
+class MeshFriProver:
+    """f64 FRI prover with every layer's transpose/hash/fold sharded over
+    the mesh (fri/src/prover/mod.rs:172-226 + folding/mod.rs:85-117 as one
+    distributed transpose + row-local work per layer).  Byte-identical to
+    FriProver; layers whose folded size no longer divides the mesh fall
+    back to the host prover's per-layer path on materialized arrays."""
+
+    def __init__(self, options, hasher, ext_deg: int, mesh):
+        from ..fri.prover import FriProver
+
+        self._host = FriProver(options, hasher, ext_deg)
+        self.options = options
+        self.hasher = hasher
+        self.ext_deg = ext_deg
+        self.mesh = mesh
+
+    def build_layers(self, channel, evaluations):
+        d = self.mesh.devices.size
+        N = self.options.folding_factor
+        total = self.options.num_fri_layers(evaluations[0][0].shape[-1])
+        built = 0
+        for _ in range(total):
+            L = evaluations[0][0].shape[-1]
+            m = L // N
+            if m % d != 0 or m < 2 * d:
+                break  # tiny tail layers: host path below
+            evaluations = self._build_layer_sharded(channel, evaluations, m, N)
+            built += 1
+        # remaining tiny layers + remainder on the host prover
+        evaluations = tuple(
+            tuple(np.asarray(l) for l in c) for c in evaluations
+        )
+        for _ in range(total - built):
+            evaluations = self._host._build_layer(channel, evaluations)
+        self._host._set_remainder(channel, evaluations)
+
+    def _build_layer_sharded(self, channel, evaluations, m, N):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..crypto.merkle import MerkleTree
+        from ..fri.prover import FriLayer
+        from ..math import scalar as fs
+        from ..utils.convert import scalar_to_limbs
+
+        transpose_fn, fold_fn, inv_offs = _fri_layer_kernels(
+            self.mesh, N, m, self.ext_deg, self.hasher,
+            self.options.domain_offset(),
+        )
+        transposed = transpose_fn(evaluations)
+        # alpha depends on the layer root, so hash and fold cannot be one
+        # pass: run the kernel twice — pass 1's fold output (dummy alpha) is
+        # discarded; pass 2 hits the jit cache and redoes O(L/d) local work,
+        # negligible next to the commit hashing
+        zero = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
+        zero_l = scalar_to_limbs(zero, self.ext_deg)
+        inv_sh = NamedSharding(self.mesh, P("dp"))
+        inv_dev = tuple(jax.device_put(np.asarray(x), inv_sh)
+                        for x in inv_offs)
+        _, sub_l, top_l = fold_fn(transposed, zero_l, inv_dev)
+        tree = MerkleTree(assemble_levels(sub_l, top_l), self.hasher)
+        channel.commit_fri_layer(tree.root())
+        alpha = channel.draw_fri_alpha()
+        alpha_l = scalar_to_limbs(alpha, self.ext_deg)
+        folded, _, _ = fold_fn(transposed, alpha_l, inv_dev)
+        self._host.layers.append(
+            FriLayer(
+                tree,
+                tuple(tuple(np.asarray(l) for l in c) for c in transposed),
+                m, N,
+            )
+        )
+        return folded
+
+    def build_proof(self, positions):
+        return self._host.build_proof(positions)
 
 
 def _stack_segments(segments, n_pad):

@@ -189,10 +189,16 @@ class Prover:
 
 def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
                  traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
-                 comp_columns, comp_lde, constraint_tree):
+                 comp_columns, comp_lde, constraint_tree,
+                 deep_lde_and_fri=None):
     """Phases 4-8 of generate_proof (OOD + DEEP + FRI + queries + assembly),
-    shared by the host pipeline and the mesh pipeline's limb-field tail
-    (prover/src/lib.rs:476-603)."""
+    shared by the host pipeline and the mesh pipeline's tail
+    (prover/src/lib.rs:476-603).
+
+    deep_lde_and_fri: optional override for phases 5-6 — called with the
+    DEEP coefficient columns, must run the LDE + FRI layer commits against
+    `channel` and return the FriProver to build the proof from (the mesh
+    pipeline passes a sharded implementation)."""
     n = len(airs)
     trace_length = domain.trace_length
     _t = time.perf_counter()
@@ -229,17 +235,20 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
     _t = time.perf_counter()
 
     # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
-    deep_evaluations = B.evaluate_poly_with_offset(
-        deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
-    )
-    if spec.name == "f64":
-        fri_prover = FriProver(options.to_fri_options(), hasher, ext_deg)
-        fri_prover.build_layers(channel, deep_evaluations)
+    if deep_lde_and_fri is not None:
+        fri_prover = deep_lde_and_fri(deep.coefficients)
     else:
-        fri_prover = LimbFriProver(
-            options.to_fri_options(), hasher, B.F, spec, ext_deg
+        deep_evaluations = B.evaluate_poly_with_offset(
+            deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
         )
-        fri_prover.build_layers(channel, deep_evaluations)
+        if spec.name == "f64":
+            fri_prover = FriProver(options.to_fri_options(), hasher, ext_deg)
+            fri_prover.build_layers(channel, deep_evaluations)
+        else:
+            fri_prover = LimbFriProver(
+                options.to_fri_options(), hasher, B.F, spec, ext_deg
+            )
+            fri_prover.build_layers(channel, deep_evaluations)
 
     logger.debug(
         "computed %d FRI layers from composition polynomial evaluations "
