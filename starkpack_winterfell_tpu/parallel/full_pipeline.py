@@ -40,6 +40,8 @@ tests/test_full_pipeline_mesh.py).
 
 from __future__ import annotations
 
+import logging
+import time
 import warnings
 
 import numpy as np
@@ -48,6 +50,19 @@ from ..air.transition import EvaluationFrame
 from ..errors import ProverError
 from ..ops.backend import get_backend
 from ..ops.felt import Felt
+
+logger = logging.getLogger("starkpack_winterfell_tpu.parallel")
+
+# jitted kernels cached by static config — a fresh closure per prove call
+# would miss jax's jit cache and pay a FULL (remote) recompile of every
+# phase on every proof (the same pattern as prover/device_big._KERNEL_CACHE)
+_KERNEL_CACHE: dict = {}
+
+
+def _cached(key, make):
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = make()
+    return _KERNEL_CACHE[key]
 
 
 def _shard_map():
@@ -541,6 +556,13 @@ def prove_mesh(prover, n: int, traces, mesh):
     from ..prover.pipeline import finish_proof
     from ..air.air import AuxTraceRandElements
 
+    _t0 = time.perf_counter()
+
+    def _mark(phase):
+        nonlocal _t0
+        logger.debug("%s in %.0f ms", phase, (time.perf_counter() - _t0) * 1e3)
+        _t0 = time.perf_counter()
+
     d = mesh.devices.size
     options = prover.options()
     ext_deg = options.field_extension
@@ -566,11 +588,16 @@ def prove_mesh(prover, n: int, traces, mesh):
     # ---- P1: sharded main-trace commitment ----
     main_segments = [t.main_segment_limbs(B) for t in traces]
     stacked = _stack_segments(main_segments, n_pad)
-    k1 = sharded_segment_commit(mesh, B, hasher, n, n_pad, w, length, blowup,
-                                offset, 1)
+    k1 = _cached(
+        ("seg", mesh, B.spec.name, hasher, n, n_pad, w, length, blowup,
+         offset, 1),
+        lambda: sharded_segment_commit(mesh, B, hasher, n, n_pad, w, length,
+                                       blowup, offset, 1),
+    )
     polys_dev, lde_rows, sub_l, top_l = k1(stacked)
     main_tree = MerkleTree(assemble_levels(sub_l, top_l), hasher)
     channel.commit_trace(main_tree.root())
+    _mark("P1 sharded main-trace commit")
 
     # ---- aux segments ----
     aux_trees = []
@@ -587,14 +614,19 @@ def prove_mesh(prover, n: int, traces, mesh):
         w_aux = aux_segments[0][0][0].shape[0]
         aux_widths.append(w_aux)
         stacked_aux = _stack_segments(aux_segments, n_pad)
-        k1a = sharded_segment_commit(mesh, B, hasher, n, n_pad, w_aux, length,
-                                     blowup, offset, ext_deg)
+        k1a = _cached(
+            ("seg", mesh, B.spec.name, hasher, n, n_pad, w_aux, length,
+             blowup, offset, ext_deg),
+            lambda: sharded_segment_commit(mesh, B, hasher, n, n_pad, w_aux,
+                                           length, blowup, offset, ext_deg),
+        )
         apolys, arows, asub, atop = k1a(stacked_aux)
         aux_tree = MerkleTree(assemble_levels(asub, atop), hasher)
         channel.commit_trace(aux_tree.root())
         aux_trees.append(aux_tree)
         aux_rows_list.append(arows)
         aux_polys_dev.append(apolys)
+        _mark("P1b sharded aux commit")
 
     # ---- P2/P5: sharded constraint evaluation ----
     tc_list, boundary_list = [], []
@@ -639,7 +671,13 @@ def prove_mesh(prover, n: int, traces, mesh):
     fp_stack = _stack_elems(B, [[p] for p in final_powers], ext_deg)
     fp_stack = tuple(tuple(l[:, 0] for l in c) for c in fp_stack)  # (n,)
 
-    k2 = sharded_constraint_phase(mesh, B, airs[0], domain, ext_deg, n, plan)
+    k2 = _cached(
+        ("cons", mesh, B.spec.name, type(airs[0]).__qualname__,
+         domain.trace_length, domain.ce_size, ext_deg, n, w,
+         plan["w_aux"], tuple(tuple(g) for g in plan["groups"])),
+        lambda: sharded_constraint_phase(mesh, B, airs[0], domain, ext_deg, n,
+                                         plan),
+    )
     main_rows_n = _tmap(lambda a: a[:n], lde_rows)
     aux_rows_n = (
         _tmap(lambda a: a[:n], aux_rows_list[0]) if plan["has_aux"] else ()
@@ -651,6 +689,7 @@ def prove_mesh(prover, n: int, traces, mesh):
     final_comb = tuple(
         tuple(np.asarray(l) for l in c) for c in final_comb_dev
     )
+    _mark("P2/P5 sharded constraint evaluation")
 
     # ---- P3: composition poly + sharded LDE/commitment ----
     ce = domain.ce_size
@@ -663,48 +702,65 @@ def prove_mesh(prover, n: int, traces, mesh):
         for c in B.promote(coeffs, ext_deg)
     )
     comp_blowup = L // trace_length
-    k3 = sharded_lde_blocks(mesh, B, num_cols, trace_length, comp_blowup,
-                            offset, hasher=hasher, deg=ext_deg)
+    k3 = _cached(
+        ("lde", mesh, B.spec.name, num_cols, trace_length, comp_blowup,
+         offset, hasher, ext_deg),
+        lambda: sharded_lde_blocks(mesh, B, num_cols, trace_length,
+                                   comp_blowup, offset, hasher=hasher,
+                                   deg=ext_deg),
+    )
     comp_lde_rows, csub, ctop = k3(comp_columns)
     constraint_tree = MerkleTree(assemble_levels(csub, ctop), hasher)
     channel.commit_constraints(constraint_tree.root())
+    _mark("P3 sharded composition LDE + commit")
 
     # ---- tail: OOD + DEEP + FRI + queries (host, generic) ----
-    polys_h = tuple(tuple(np.asarray(l)[:n] for l in c) for c in polys_dev)
+    # materialize each device array to the host EXACTLY ONCE, then slice —
+    # np.asarray inside a per-instance loop re-pulls the full array every
+    # iteration, which on the tunneled TPU backend is n x limbs full-LDE
+    # transfers (hundreds of MB) instead of one
+    polys_h = _tmap(lambda a: np.asarray(a)[:n], polys_dev)
+    aux_polys_h = [_tmap(np.asarray, ap) for ap in aux_polys_dev]
+    main_rows_h = _tmap(np.asarray, main_rows_n)
+    aux_rows_h = [_tmap(np.asarray, ar)
+                  for ar in (_tmap(lambda a: a[:n], x) for x in aux_rows_list)]
     traces_polys = [
         {
             "main": tuple(tuple(l[i] for l in c) for c in polys_h),
             "aux": [
-                tuple(tuple(np.asarray(l)[i] for l in c) for c in ap)
-                for ap in aux_polys_dev
+                tuple(tuple(l[i] for l in c) for c in ap)
+                for ap in aux_polys_h
             ],
         }
         for i in range(n)
     ]
     main_ldes = [
-        tuple(tuple(np.asarray(l)[i] for l in c) for c in main_rows_n)
+        tuple(tuple(l[i] for l in c) for c in main_rows_h)
         for i in range(n)
     ]
     traces_ldes = [
         {
             "main": main_ldes[i],
             "aux": [
-                tuple(tuple(np.asarray(l)[i] for l in c) for c in ar)
-                for ar in (
-                    [_tmap(lambda a: a[:n], x) for x in aux_rows_list]
-                )
+                tuple(tuple(l[i] for l in c) for c in ar)
+                for ar in aux_rows_h
             ],
         }
         for i in range(n)
     ]
-    comp_lde = tuple(tuple(np.asarray(l) for l in c) for c in comp_lde_rows)
+    comp_lde = _tmap(np.asarray, comp_lde_rows)
+    _mark("device->host materialization for the query/tail phase")
 
     # ---- P5-P6 sharded (f64): DEEP LDE coset-by-coset + sharded FRI ----
     deep_fri = None
     if spec.name == "f64":
         def deep_fri(deep_coefficients):
-            k4 = sharded_lde_blocks(mesh, B, 1, trace_length,
-                                    L // trace_length, offset)
+            k4 = _cached(
+                ("lde", mesh, B.spec.name, 1, trace_length,
+                 L // trace_length, offset, None, 1),
+                lambda: sharded_lde_blocks(mesh, B, 1, trace_length,
+                                           L // trace_length, offset),
+            )
             cols = tuple(
                 tuple(l.reshape(1, trace_length) for l in c)
                 for c in deep_coefficients
@@ -843,9 +899,13 @@ class MeshFriProver:
         from ..math import scalar as fs
         from ..utils.convert import scalar_to_limbs
 
-        transpose_fn, fold_fn, inv_offs = _fri_layer_kernels(
-            self.mesh, N, m, self.ext_deg, self.hasher,
-            self.options.domain_offset(),
+        transpose_fn, fold_fn, inv_offs = _cached(
+            ("fri", self.mesh, N, m, self.ext_deg, self.hasher,
+             self.options.domain_offset()),
+            lambda: _fri_layer_kernels(
+                self.mesh, N, m, self.ext_deg, self.hasher,
+                self.options.domain_offset(),
+            ),
         )
         transposed = transpose_fn(evaluations)
         # alpha depends on the layer root, so hash and fold cannot be one
