@@ -30,7 +30,13 @@ class DeepCompositionPoly:
     def add_trace_polys(self, traces_polys, ood_traces_states):
         """traces_polys: list (per trace) of dicts with 'main' -> component
         tuple (w, n) base polys and 'aux' -> list of ext component tuples.
-        ood_traces_states[i] = [evals@z, evals@zg] (host element lists)."""
+        ood_traces_states[i] = [evals@z, evals@zg] (host element lists).
+
+        Fully batched over instances AND columns: one (n_tr, W, n) multiply
+        + column-sum, two batched synthetic divisions, one instance-sum —
+        the per-column loop of composer/mod.rs:63-153 collapses to array
+        ops (exact modular arithmetic, so any summation order is
+        byte-identical)."""
         B = self.B
         s = B.spec
         d = self.ext_deg
@@ -38,44 +44,65 @@ class DeepCompositionPoly:
         g = B.get_root_of_unity(n.bit_length() - 1)
         z = self.z
         next_z = s.fmul(z, g)
+        n_tr = len(traces_polys)
 
-        total = None
-        for index, polys in enumerate(traces_polys):
-            ccs = self.cc.traces[index]
-            t1 = B.vzeros((n,), d)
-            t2 = B.vzeros((n,), d)
-            col = 0
-
-            def accumulate(poly_j, t1, t2, col):
-                k = B.vbroadcast(B.scalar_to_limbs(ccs[col], d), (n,))
-                contrib = B.vmul(k, poly_j)
-                t1 = B.vadd(t1, contrib)
-                t2 = B.vadd(t2, contrib)
-                t1 = _sub_const(
-                    t1, s.fmul(ood_traces_states[index][0][col], ccs[col]), d, B
+        # stacked column polys: (n_tr, W, n) ext comps (main + aux segments)
+        per_inst = []
+        for polys in traces_polys:
+            groups = [B.promote(polys["main"], d)] + [
+                B.promote(a, d) for a in polys.get("aux", [])
+            ]
+            per_inst.append(tuple(
+                tuple(
+                    np.concatenate(
+                        [np.asarray(grp[c][l]) for grp in groups], axis=0
+                    )
+                    for l in range(len(groups[0][c]))
                 )
-                t2 = _sub_const(
-                    t2, s.fmul(ood_traces_states[index][1][col], ccs[col]), d, B
-                )
-                return t1, t2
+                for c in range(d)
+            ))
+        stacked = tuple(
+            tuple(
+                np.stack([inst[c][l] for inst in per_inst])
+                for l in range(len(per_inst[0][c]))
+            )
+            for c in range(d)
+        )
+        W = stacked[0][0].shape[1]
 
-            main = polys["main"]
-            w = main[0][0].shape[0]
-            for j in range(w):
-                poly_j = tuple(B.cmap(lambda l: l[j], c) for c in main)
-                t1, t2 = accumulate(poly_j, t1, t2, col)
-                col += 1
-            for aux in polys.get("aux", []):
-                wa = aux[0][0].shape[0]
-                for j in range(wa):
-                    poly_j = tuple(B.cmap(lambda l: l[j], c) for c in aux)
-                    t1, t2 = accumulate(poly_j, t1, t2, col)
-                    col += 1
+        # composition coefficients: (n_tr, W, 1) ext comps
+        cc_flat = [self.cc.traces[i][j] for i in range(n_tr) for j in range(W)]
+        ccs = tuple(
+            tuple(np.asarray(l).reshape(n_tr, W, 1) for l in c)
+            for c in B.elems_to_limbs(cc_flat, d)
+        )
 
-            q1 = B.syn_div_binomial(t1, B.scalar_to_limbs(z, d))
-            q2 = B.syn_div_binomial(t2, B.scalar_to_limbs(next_z, d))
-            trace_poly = B.vadd(q1, q2)
-            total = trace_poly if total is None else B.vadd(total, trace_poly)
+        contrib = B.vmul(ccs, stacked)       # (n_tr, W, n)
+        t = B.vsum(contrib, axis=1)          # (n_tr, n)
+
+        # per-instance OOD constants: sum_j cc_ij * P_j(z) (resp. z*g)
+        def ood_consts(row):
+            vals = []
+            for i in range(n_tr):
+                acc = 0 if d == 1 else s.zero(d)
+                for j in range(W):
+                    acc = s.fadd(
+                        acc,
+                        s.fmul(ood_traces_states[i][row][j],
+                               self.cc.traces[i][j]),
+                    )
+                vals.append(acc)
+            return tuple(
+                tuple(np.asarray(l) for l in c)
+                for c in B.elems_to_limbs(vals, d)
+            )
+
+        t1 = _sub_const_batch(t, ood_consts(0), B)
+        t2 = _sub_const_batch(t, ood_consts(1), B)
+
+        q1 = B.syn_div_binomial(t1, B.scalar_to_limbs(z, d))
+        q2 = B.syn_div_binomial(t2, B.scalar_to_limbs(next_z, d))
+        total = B.vsum(B.vadd(q1, q2), axis=0)
 
         self.coefficients = total
         assert self.degree() == n - 2, f"DEEP degree {self.degree()} != {n - 2}"
@@ -103,6 +130,20 @@ class DeepCompositionPoly:
                 if any(int(l[i]) for l in c):
                     return i
         return 0
+
+
+def _sub_const_batch(t, vals, B):
+    """Subtract per-row scalars (comps shaped (n_tr,)) from coefficient 0 of
+    a batched coeff table (comps shaped (n_tr, n))."""
+    out = []
+    for c, v in zip(t, vals):
+        first = B.bsub(
+            tuple(l[:, :1] for l in c), tuple(l[:, None] for l in v)
+        )
+        out.append(tuple(
+            np.concatenate([f, l[:, 1:]], axis=1) for f, l in zip(first, c)
+        ))
+    return tuple(out)
 
 
 def _sub_const(poly, value, d, B):
