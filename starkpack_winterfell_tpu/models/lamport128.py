@@ -22,6 +22,8 @@ final B digest, since each pk pair is one rate-4 block.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..air import Air, AirContext, Assertion, TransitionConstraintDegree
 from ..crypto import rescue128 as r128
 from ..crypto.rescue128 import (
@@ -157,16 +159,63 @@ def keygen(k: int, seed: int = 0):
         [[rng.randrange(P), rng.randrange(P)] for _ in range(2)]
         for _ in range(k)
     ]
-    pk_hashes = [
-        [r128.digest(secrets[i][0]), r128.digest(secrets[i][1])]
-        for i in range(k)
-    ]
+    pk_hashes = _digest_pairs_batch(secrets, k)
     flat = []
     for h0, h1 in pk_hashes:
         flat.extend(h0)
         flat.extend(h1)
-    pub_key = r128.digest(flat)
+    pub_key = _digest_native(flat)
     return secrets, pk_hashes, pub_key
+
+
+def _digest_native(elements):
+    """One sponge digest via the native kernel (bit-identical), falling back
+    to the python-int sponge without a compiler."""
+    from .. import native as _native
+
+    lib = _native.get_rescue128()
+    if lib is None:
+        return r128.digest(elements)
+    import ctypes
+
+    inp = np.array(
+        [x for e in elements for x in (e & 0xFFFFFFFFFFFFFFFF, e >> 64)],
+        dtype=np.uint64,
+    )
+    out = np.zeros(4, dtype=np.uint64)
+    vp = ctypes.c_void_p
+    lib.r128_digest_batch(inp.ctypes.data_as(vp), len(elements), 1,
+                          out.ctypes.data_as(vp))
+    return [int(out[0]) | (int(out[1]) << 64), int(out[2]) | (int(out[3]) << 64)]
+
+
+def _digest_pairs_batch(secrets, k):
+    """pk hashes for all 2k secret pairs in one native call."""
+    from .. import native as _native
+
+    lib = _native.get_rescue128()
+    if lib is None:
+        return [[r128.digest(secrets[i][0]), r128.digest(secrets[i][1])]
+                for i in range(k)]
+    import ctypes
+
+    elems = []
+    for i in range(k):
+        for side in range(2):
+            for e in secrets[i][side]:
+                elems.append(e & 0xFFFFFFFFFFFFFFFF)
+                elems.append(e >> 64)
+    inp = np.array(elems, dtype=np.uint64)
+    out = np.zeros(2 * k * 4, dtype=np.uint64)
+    vp = ctypes.c_void_p
+    lib.r128_digest_batch(inp.ctypes.data_as(vp), 2, 2 * k,
+                          out.ctypes.data_as(vp))
+    hashes = []
+    for i in range(2 * k):
+        o = out[4 * i : 4 * i + 4]
+        hashes.append([int(o[0]) | (int(o[1]) << 64),
+                       int(o[2]) | (int(o[3]) << 64)])
+    return [[hashes[2 * i], hashes[2 * i + 1]] for i in range(k)]
 
 
 def sign(secrets, pk_hashes, message: int, k: int):
@@ -179,6 +228,9 @@ def sign(secrets, pk_hashes, message: int, k: int):
 
 
 def build_lamport128_trace(message: int, sig, k: int) -> TraceTable:
+    native = _build_lamport128_trace_native(message, sig, k)
+    if native is not None:
+        return native
     length = CYCLE_LENGTH * (k + 1)
     cols = [[0] * length for _ in range(TRACE_WIDTH)]
     b_state = [0] * STATE_WIDTH
@@ -217,6 +269,43 @@ def build_lamport128_trace(message: int, sig, k: int) -> TraceTable:
             b_state = nb
             m = (2 * m + bit) % P
     return TraceTable.init(cols, field="f128")
+
+
+def _build_lamport128_trace_native(message: int, sig, k: int):
+    """Native trace builder (native/rescue128.c lamport128_trace) — the
+    wallet-side scalar Rescue chain the accelerator cannot help with;
+    bit-identical to the python loop below."""
+    from .. import native as _native
+
+    lib = _native.get_rescue128()
+    if lib is None:
+        return None
+    import ctypes
+
+    length = CYCLE_LENGTH * (k + 1)
+    bits = np.array([(message >> (k - 1 - c)) & 1 for c in range(k)],
+                    dtype=np.uint64)
+    rev = np.zeros(4 * k, dtype=np.uint64)
+    oth = np.zeros(4 * k, dtype=np.uint64)
+    mask = 0xFFFFFFFFFFFFFFFF
+    for c in range(k):
+        revealed, other = sig[c]
+        rev[4 * c + 0] = revealed[0] & mask
+        rev[4 * c + 1] = revealed[0] >> 64
+        rev[4 * c + 2] = revealed[1] & mask
+        rev[4 * c + 3] = revealed[1] >> 64
+        oth[4 * c + 0] = other[0] & mask
+        oth[4 * c + 1] = other[0] >> 64
+        oth[4 * c + 2] = other[1] & mask
+        oth[4 * c + 3] = other[1] >> 64
+    lo = np.zeros((TRACE_WIDTH, length), dtype=np.uint64)
+    hi = np.zeros((TRACE_WIDTH, length), dtype=np.uint64)
+    vp = ctypes.c_void_p
+    lib.lamport128_trace(
+        k, bits.ctypes.data_as(vp), rev.ctypes.data_as(vp),
+        oth.ctypes.data_as(vp), lo.ctypes.data_as(vp), hi.ctypes.data_as(vp),
+    )
+    return TraceTable.from_u64_pairs(lo, hi, "f128")
 
 
 class Lamport128Prover(Prover):

@@ -77,3 +77,38 @@ def get_builders():
             lib.fib_trace.restype = None
         _CACHE["builders"] = lib
     return _CACHE["builders"]
+
+
+def get_rescue128():
+    """ctypes handle for the f128 Rescue128 wallet kernels (rescue128.c),
+    initialized with the protocol constants; None if no compiler."""
+    if "r128" not in _CACHE:
+        lib = _build("starkr128", "rescue128.c")
+        if lib is not None:
+            import numpy as np
+
+            from ..crypto import rescue128_constants as rc
+
+            u64 = ctypes.c_uint64
+            p = ctypes.c_void_p
+            lib.r128_init.argtypes = [p, p, p]
+            lib.r128_digest_batch.argtypes = [p, u64, u64, p]
+            lib.lamport128_trace.argtypes = [u64, p, p, p, p, p]
+
+            def pairs(vals):
+                flat = []
+                for v in vals:
+                    flat.append(v & 0xFFFFFFFFFFFFFFFF)
+                    flat.append(v >> 64)
+                return np.array(flat, dtype=np.uint64)
+
+            mds = pairs([v for row in rc.MDS for v in row])
+            ark = pairs([v for r in rc.ARK for v in r])
+            inv_a = pairs([rc.INV_ALPHA])
+            lib.r128_init(
+                mds.ctypes.data_as(p), ark.ctypes.data_as(p),
+                inv_a.ctypes.data_as(p),
+            )
+            lib._keepalive = (mds, ark, inv_a)
+        _CACHE["r128"] = lib
+    return _CACHE["r128"]

@@ -45,6 +45,19 @@ class TraceTable:
         return obj
 
     @classmethod
+    def from_u64_pairs(cls, lo: np.ndarray, hi: np.ndarray, field: str,
+                       meta: bytes = b"") -> "TraceTable":
+        """From (width, length) u64 lo/hi planes of <=128-bit canonical
+        elements (filled by native builders) — skips the python-int staging
+        entirely; limbs are sliced straight out of the planes."""
+        lo = np.asarray(lo, dtype=np.uint64)
+        hi = np.asarray(hi, dtype=np.uint64)
+        obj = cls(lo.shape[0], lo.shape[1], meta, field=field)
+        obj._pair_columns = (lo.copy(), hi.copy())
+        obj._columns = None
+        return obj
+
+    @classmethod
     def init(cls, columns, field: str = "f64") -> "TraceTable":
         """From a list of per-column python-int lists (trace_table.rs:107)."""
         if field == "f64":
@@ -77,6 +90,9 @@ class TraceTable:
     # -- accessors -----------------------------------------------------------
 
     def get(self, column: int, step: int) -> int:
+        if getattr(self, "_pair_columns", None) is not None:
+            lo, hi = self._pair_columns
+            return int(lo[column, step]) | (int(hi[column, step]) << 64)
         return int(self._columns[column][step]) if self.field != "f64" else int(
             self._columns[column, step]
         )
@@ -101,6 +117,14 @@ class TraceTable:
         from ..ops.backend import get_backend
 
         B = backend if backend is not None else get_backend(self.field)
+        if getattr(self, "_pair_columns", None) is not None:
+            lo, hi = self._pair_columns
+            mask = np.uint64(0xFFFFFFFF)
+            sh = np.uint64(32)
+            planes = [lo & mask, lo >> sh, hi & mask, hi >> sh]
+            n_limbs = B.spec.ELEMENT_BYTES // 4
+            comp = tuple(planes[i].astype(np.uint32) for i in range(n_limbs))
+            return (comp,)
         flat = [v for col in self._columns for v in col]
         comp = B.b_from_ints(flat)
         return (B.cmap(lambda l: l.reshape(self.width, self.length), comp),)

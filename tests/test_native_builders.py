@@ -69,3 +69,52 @@ def test_mulmod_reduction_edge_cases():
         for i in range(64):
             assert int(out[i]) == x
             x = (pow(x, 3, fs.P) + 42) % fs.P
+
+
+def test_rescue128_digest_matches_python():
+    import ctypes
+
+    from starkpack_winterfell_tpu.crypto import rescue128 as r128
+    from starkpack_winterfell_tpu.native import get_rescue128
+
+    lib = get_rescue128()
+    if lib is None:
+        pytest.skip("no C compiler")
+    for elems in ([1, 2, 3, 4], [r128.P - 1, (1 << 127) + 5],
+                  list(range(1, 10))):
+        inp = np.array(
+            [x for e in elems for x in (e & (2**64 - 1), e >> 64)],
+            dtype=np.uint64,
+        )
+        out = np.zeros(4, dtype=np.uint64)
+        lib.r128_digest_batch(
+            inp.ctypes.data_as(ctypes.c_void_p), len(elems), 1,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        got = [int(out[0]) | (int(out[1]) << 64),
+               int(out[2]) | (int(out[3]) << 64)]
+        assert got == r128.digest(elems)
+
+
+def test_lamport128_native_trace_matches_python():
+    from starkpack_winterfell_tpu.models import lamport128 as lam
+    from starkpack_winterfell_tpu import native as nat
+
+    if nat.get_rescue128() is None:
+        pytest.skip("no C compiler")
+    k = 15
+    secrets, pk_hashes, pub_key = lam.keygen(k, seed=9)
+    msg = 0b011011100010110
+    sig = lam.sign(secrets, pk_hashes, msg, k)
+    t_native = lam.build_lamport128_trace(msg, sig, k)
+    saved = dict(nat._CACHE)
+    nat._CACHE["r128"] = None
+    try:
+        t_python = lam.build_lamport128_trace(msg, sig, k)
+    finally:
+        nat._CACHE.update(saved)
+    assert all(
+        t_native.get(c, s) == t_python.get(c, s)
+        for c in range(lam.TRACE_WIDTH)
+        for s in range(t_native.length)
+    )
