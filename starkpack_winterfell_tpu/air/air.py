@@ -143,14 +143,26 @@ class Air:
 
     # -- provided accessors --------------------------------------------------
 
+    # periodic columns are structural per AIR type + trace length (the
+    # reference's trait derives them from the AIR shape, never from public
+    # inputs — air/src/air/mod.rs:292), so their interpolations are cached
+    # process-wide
+    _periodic_polys_cache: dict = {}
+
     def get_periodic_column_polys(self):
-        """Interpolate each periodic column into coefficient form."""
+        """Interpolate each periodic column into coefficient form (cached)."""
+        key = (type(self), self.trace_length(), self.context.field.name)
+        cached = Air._periodic_polys_cache.get(key)
+        if cached is not None:
+            return cached
         from .boundary import _interpolate_subgroup
 
-        return [
+        polys = [
             _interpolate_subgroup(col, self.context.field)
             for col in self.get_periodic_column_values()
         ]
+        Air._periodic_polys_cache[key] = polys
+        return polys
 
     def trace_info(self) -> TraceInfo:
         return self.context.trace_info

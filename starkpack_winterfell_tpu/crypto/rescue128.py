@@ -109,12 +109,15 @@ def enforce_round(result, current, next_, ark, flag):
 def _felt_mds(state, m):
     from ..ops.felt import Felt
 
-    B = state[0].B
+    B = getattr(state[0], "B", None)
     out = []
     for i in range(STATE_WIDTH):
         acc = None
         for j in range(STATE_WIDTH):
-            term = state[j] * Felt.from_int(m[i][j], (), 1, B)
+            # B is None on the verifier's python-int ScalarFelt path, where
+            # a raw int constant multiplies directly
+            const = m[i][j] if B is None else Felt.from_int(m[i][j], (), 1, B)
+            term = state[j] * const
             acc = term if acc is None else acc + term
         out.append(acc)
     return out

@@ -560,6 +560,30 @@ class LimbBackend(FieldBackend):
     def binv(self, a):
         return self.F.exp_int(a, self.P - 2)
 
+    def b_batch_inv(self, comp):
+        """Montgomery batch inversion on the host: n limb multiplies would
+        each pay numpy small-array overhead and the Fermat ladder is ~190
+        sequential multiplies, so for numpy inputs we round-trip through
+        python ints (one pow() for the whole batch).  Traced (jit) inputs
+        keep the Fermat ladder."""
+        if not isinstance(comp[0], np.ndarray):
+            return self.binv(comp)
+        shape = comp[0].shape
+        vals = self.F.to_ints(comp)
+        n = len(vals)
+        prefix = [1] * (n + 1)
+        for i, v in enumerate(vals):
+            prefix[i + 1] = (prefix[i] * v) % self.P if v else prefix[i]
+        inv = pow(prefix[n], self.P - 2, self.P)
+        out = [0] * n
+        for i in range(n - 1, -1, -1):
+            if vals[i]:
+                out[i] = (prefix[i] * inv) % self.P
+                inv = (inv * vals[i]) % self.P
+            # zero stays zero (matches 0^(P-2) from the Fermat path)
+        res = self.F.from_ints(out)
+        return tuple(l.reshape(shape) for l in res)
+
     def b_zeros(self, shape, xp=np):
         return self.F.zeros(shape, xp)
 

@@ -207,10 +207,13 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
     z = channel.get_ood_point()
     g_trace = B.get_root_of_unity(trace_length.bit_length() - 1)
     zg = spec.fmul(z, g_trace)
+    n_coeffs = traces_polys[0]["main"][0][0].shape[-1]
+    powz = B.power_series_elem(B.scalar_to_limbs(z, ext_deg), n_coeffs)
+    powzg = B.power_series_elem(B.scalar_to_limbs(zg, ext_deg), n_coeffs)
     ood_traces_states = []
     for tp in traces_polys:
-        at_z = evaluate_trace_polys_at(tp, z, ext_deg, B)
-        at_zg = evaluate_trace_polys_at(tp, zg, ext_deg, B)
+        at_z = evaluate_trace_polys_at(tp, z, ext_deg, B, powz)
+        at_zg = evaluate_trace_polys_at(tp, zg, ext_deg, B, powzg)
         ood_traces_states.append([at_z, at_zg])
     channel.send_ood_trace_states(ood_traces_states)
 
@@ -282,21 +285,24 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
     return channel.build_proof(trace_queries, constraint_queries, fri_proof)
 
 
-def evaluate_columns_at(columns, z, ext_deg: int, B=None):
+def evaluate_columns_at(columns, z, ext_deg: int, B=None, powz=None):
     """Evaluate per-column polynomials (component tuple (w, n)) at an element
-    z — vectorized dot with the power series of z (col_matrix.rs:249)."""
+    z — vectorized dot with the power series of z (col_matrix.rs:249).
+    powz: optional precomputed power series (the series is a sequential
+    scalar-multiply chain, so multi-instance callers hoist it)."""
     if B is None:
         B = get_backend("f64")
     w, n = columns[0][0].shape
-    powz = B.power_series_elem(B.scalar_to_limbs(z, ext_deg), n)
+    if powz is None:
+        powz = B.power_series_elem(B.scalar_to_limbs(z, ext_deg), n)
     prod = B.vmul(powz, columns)  # broadcast (n,) x (w, n)
     sums = B.vsum(prod, axis=-1)
     return B.limbs_to_elems(sums, len(sums))
 
 
-def evaluate_trace_polys_at(trace_polys, z, ext_deg: int, B=None):
+def evaluate_trace_polys_at(trace_polys, z, ext_deg: int, B=None, powz=None):
     """TracePolyTable::evaluate_at (poly_table.rs:47-53): main then aux."""
-    result = evaluate_columns_at(trace_polys["main"], z, ext_deg, B)
+    result = evaluate_columns_at(trace_polys["main"], z, ext_deg, B, powz)
     for aux in trace_polys["aux"]:
-        result.extend(evaluate_columns_at(aux, z, ext_deg, B))
+        result.extend(evaluate_columns_at(aux, z, ext_deg, B, powz))
     return result

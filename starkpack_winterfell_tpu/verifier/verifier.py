@@ -94,8 +94,13 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
     # (n,)-shaped Felt call instead of n scalar calls); aux-segment AIRs use
     # the per-instance path (aux randomness is per-instance scalar data)
     t1_batch = None
-    if ood_aux_frames[0] is None and len(airs) > 1:
+    if ood_aux_frames[0] is None and len(airs) > 1 and spec.name == "f64":
+        # limb fields take the ScalarFelt (python-int) per-instance path
+        # instead — cheaper than tiny limb-array batches
         t1_batch = _batch_main_transition_evals(airs, ood_main_frames, z, ext_deg)
+    # periodic columns/values are identical across instances (same AIR class,
+    # same z) — evaluate once
+    shared_pv = _periodic_values_at(airs[0], z, spec)
     for i, frame in enumerate(ood_traces_frame):
         ev = _evaluate_constraints(
             airs[i],
@@ -106,6 +111,7 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
             z,
             ext_deg,
             t1=None if t1_batch is None else t1_batch[i],
+            periodic_values=shared_pv,
         )
         public_coin.reseed(
             hasher.hash_elements(frame.values(), spec.ELEMENT_BYTES)
@@ -227,7 +233,7 @@ def _batch_main_transition_evals(airs, ood_main_frames, z, ext_deg):
 
 
 def _evaluate_constraints(air, coeffs, main_frame, aux_frame, aux_rand_elements, x,
-                          ext_deg, t1=None):
+                          ext_deg, t1=None, periodic_values=None):
     """verifier/src/evaluator.rs:14-82 — symbolic evaluation at z."""
     from ..ops.backend import get_backend
 
@@ -235,7 +241,8 @@ def _evaluate_constraints(air, coeffs, main_frame, aux_frame, aux_rand_elements,
     B = get_backend(spec.name)
     t_constraints = air.get_transition_constraints(coeffs.transition)
 
-    periodic_values = _periodic_values_at(air, x, spec)
+    if periodic_values is None:
+        periodic_values = _periodic_values_at(air, x, spec)
 
     if t1 is None:
         t1 = [None] * t_constraints.num_main_constraints()
@@ -263,11 +270,86 @@ def _evaluate_constraints(air, coeffs, main_frame, aux_frame, aux_rand_elements,
 
 def _scalar_evaluate(air, frame, periodic_values, result, B):
     """Run the user's vectorized evaluate_transition on scalar values by
-    wrapping them in shape-(1,) Felts."""
+    wrapping them in python-int ScalarFelts (limb fields: a python mulmod
+    is ~1000x cheaper than a shape-(1,) limb-array multiply) or shape-(1,)
+    Felts (f64, where the numpy kernels are already cheap)."""
     air.evaluate_transition(_ScalarFrame(frame, B),
                             [_felt(v, B) for v in periodic_values], result)
     for i, v in enumerate(result):
         result[i] = _unfelt(v)
+
+
+class ScalarFelt:
+    """Python-int field element with Felt's operator surface, for the
+    verifier's inherently scalar OOD evaluation over the limb fields."""
+
+    __slots__ = ("v", "spec")
+
+    def __init__(self, v, spec):
+        self.v = v
+        self.spec = spec
+
+    def _coerce(self, o):
+        if isinstance(o, ScalarFelt):
+            return o.v
+        if isinstance(o, (int, tuple)):
+            return o
+        if hasattr(o, "to_elems"):  # array Felt constant (Felt.from_int)
+            return o.to_elems()[0]
+        return NotImplemented
+
+    def __add__(self, o):
+        w = self._coerce(o)
+        if w is NotImplemented:
+            return NotImplemented
+        return ScalarFelt(self.spec.fadd(self.v, w), self.spec)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        w = self._coerce(o)
+        if w is NotImplemented:
+            return NotImplemented
+        return ScalarFelt(self.spec.fsub(self.v, w), self.spec)
+
+    def __rsub__(self, o):
+        w = self._coerce(o)
+        if w is NotImplemented:
+            return NotImplemented
+        return ScalarFelt(self.spec.fsub(w, self.v), self.spec)
+
+    def __mul__(self, o):
+        w = self._coerce(o)
+        if w is NotImplemented:
+            return NotImplemented
+        return ScalarFelt(self.spec.fmul(self.v, w), self.spec)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return ScalarFelt(self.spec.fneg(self.v), self.spec)
+
+    def __pow__(self, e: int):
+        return ScalarFelt(self.spec.fexp(self.v, int(e)), self.spec)
+
+    def square(self):
+        return ScalarFelt(self.spec.fmul(self.v, self.v), self.spec)
+
+    def double(self):
+        return ScalarFelt(self.spec.fadd(self.v, self.v), self.spec)
+
+    def inverse(self):
+        return ScalarFelt(self.spec.finv(self.v), self.spec)
+
+    def __truediv__(self, o):
+        w = self._coerce(o)
+        if w is NotImplemented:
+            return NotImplemented
+        return self * ScalarFelt(w, self.spec).inverse()
+
+    def __eq__(self, o):
+        w = self._coerce(o)
+        return self.v == w
 
 
 class _ScalarFrame:
@@ -283,6 +365,8 @@ class _ScalarFrame:
 
 
 def _felt(v, B):
+    if B.spec.name != "f64":
+        return ScalarFelt(v, B.spec)
     from ..ops.felt import Felt
 
     deg = 1 if isinstance(v, int) else len(v)
@@ -292,6 +376,8 @@ def _felt(v, B):
 def _unfelt(f):
     if isinstance(f, (int, tuple)):
         return f
+    if isinstance(f, ScalarFelt):
+        return f.v
     return f.to_elems()[0]
 
 
