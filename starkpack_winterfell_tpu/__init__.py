@@ -10,6 +10,29 @@ replicates the reference's draw/reseed order.
 Facade equivalent of the reference's `winterfell` crate (winterfell/src/lib.rs).
 """
 
+import os as _os
+
+# Persistent XLA compilation cache: first compile of a proving config costs
+# minutes through the remote-TPU tunnel; with the cache, every later PROCESS
+# reuses it.  This jax build does not map the JAX_COMPILATION_CACHE_DIR env
+# var, so configure explicitly (set the env var to "" to disable).
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR", None) != "":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "..", ".jax_cache"),
+        )
+        # persist even sub-second compiles: on the tunneled TPU every EAGER
+        # op dispatch is a remote compile (~0.3 s), and a proof's host tail
+        # issues hundreds of them — all cache-hittable
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:  # jax unavailable: host-only numpy paths still work
+        pass
+
 from .air import (
     Air,
     AirContext,

@@ -497,9 +497,12 @@ class DeviceProver:
         zg_l = _to_dev(scalar_to_limbs(zg, ext_deg))
         k3 = ood_eval_kernel(n, w, length, ext_deg, num_cols)
         tz, tzg, hz = k3(polys, comp_columns, z_l, zg_l)
-        tz_h = np.stack([gl.to_u64(c) for c in tz])  # (deg, n, w)
-        tzg_h = np.stack([gl.to_u64(c) for c in tzg])
-        hz_h = np.stack([gl.to_u64(c) for c in hz])
+        # pull limbs to host once; to_u64 on device arrays would dispatch
+        # eager remote ops per limb
+        _h = lambda c: (np.asarray(c[0]), np.asarray(c[1]))
+        tz_h = np.stack([gl.to_u64(_h(c)) for c in tz])  # (deg, n, w)
+        tzg_h = np.stack([gl.to_u64(_h(c)) for c in tzg])
+        hz_h = np.stack([gl.to_u64(_h(c)) for c in hz])
         ood_traces_states = []
         for i in range(n):
             at_z = [_elem_from(tz_h[:, i, j], ext_deg) for j in range(w)]
@@ -554,6 +557,10 @@ def run_fri_phase(channel, deep_evals, options, domain, ext_deg, hasher):
         fri_layers.append((transposed, tree))
         cur_L //= N
 
+    # materialize the (tiny) final-layer evaluations first: the remainder
+    # interpolation would otherwise run EAGERLY on device arrays — dozens of
+    # per-op remote dispatches through the tunnel
+    evals = tuple((np.asarray(c[0]), np.asarray(c[1])) for c in evals)
     coeffs = ntt.interpolate_poly_with_offset(evals, domain.domain_offset)
     rem_size = evals[0][0].shape[-1] // fri_options.blowup_factor
     coeffs_h = tuple(
