@@ -110,3 +110,44 @@ def test_prove_mesh_f62():
     host_proof = prover.prove(n, traces)
     mesh_proof = prove_mesh(prover, n, traces, mesh)
     assert mesh_proof.to_bytes() == host_proof.to_bytes()
+
+
+def test_sharded_commit_per_device_memory():
+    """The gather-free claim, verified directly: every per-device shard of
+    the P1 outputs holds 1/d of the global array (no phase materializes the
+    full LDE per device — round-1's all_gather did)."""
+    import numpy as np
+
+    from starkpack_winterfell_tpu.ops.backend import get_backend
+    from starkpack_winterfell_tpu.parallel.full_pipeline import (
+        sharded_segment_commit,
+        _stack_segments,
+    )
+
+    d = 8
+    mesh = make_mesh(d)
+    B = get_backend("f64")
+    n, w, length, blowup = 8, 4, 64, 8
+    L = length * blowup
+    rng = np.random.default_rng(0)
+    cols = rng.integers(0, B.P, size=(w, length), dtype=np.uint64)
+    segs = [B.cmap(lambda l: l, (B.b_from_ints(list(cols.reshape(-1))),))
+            for _ in range(n)]
+    segs = [
+        ((np.asarray(c[0][0]).reshape(w, length),
+          np.asarray(c[0][1]).reshape(w, length)),)
+        for c in segs
+    ]
+    stacked = _stack_segments(segs, n)
+    k1 = sharded_segment_commit(mesh, B, Blake3_256, n, n, w, length, blowup,
+                                7, 1)
+    polys, lde_rows, sub_l, top_l = k1(stacked)
+    # instance-sharded polys: each device holds n/d instances
+    for sh in polys[0][0].addressable_shards:
+        assert sh.data.shape == (n // d, w, length)
+    # row-block-sharded LDE: each device holds L/d rows for ALL instances
+    for sh in lde_rows[0][0].addressable_shards:
+        assert sh.data.shape == (n, w, L // d)
+    # leaf level is row-sharded too
+    for sh in sub_l[0].addressable_shards:
+        assert sh.data.shape[0] == L // d // 1
