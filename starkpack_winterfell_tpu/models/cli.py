@@ -122,6 +122,10 @@ def main(argv=None):
     p.add_argument("-v", "--verbose", action="store_true",
                    help="per-phase prover debug timing (env_logger parity, "
                         "examples/src/main.rs:23-26)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="capture a jax.profiler trace of the proving phase "
+                        "into DIR (xprof/tensorboard format; the dhat/perf "
+                        "equivalent of examples/src/main.rs:17-19)")
     args = p.parse_args(argv)
     if args.verbose:
         import logging
@@ -145,14 +149,28 @@ def main(argv=None):
 
     prover = prover_class(options, hasher)
     pub_inputs = [prover.get_pub_inputs(t) for t in traces]
-    t2 = time.perf_counter()
-    proof = prover.prove(args.num_traces, traces, device=args.device)
-    t3 = time.perf_counter()
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            t2 = time.perf_counter()
+            proof = prover.prove(args.num_traces, traces, device=args.device)
+            t3 = time.perf_counter()
+        print(f"Profiler trace written to {args.profile}")
+    else:
+        t2 = time.perf_counter()
+        proof = prover.prove(args.num_traces, traces, device=args.device)
+        t3 = time.perf_counter()
     print(f"Generated the aggregated proof in {(t3 - t2) * 1000:.0f} ms")
 
     proof_bytes = proof.to_bytes()
     print(f"Proof size: {len(proof_bytes) / 1024:.1f} KB")
-    print(f"Conjectured security: {proof.security_level_conjectured()} bits")
+    print(f"Conjectured security: {proof.security_level_conjectured()} bits, "
+          f"proven: {proof.security_level_proven()} bits")
+    # proof digest (main.rs:71-74 parity — a handy golden value)
+    from ..ops import blake3 as _b3
+
+    print(f"Proof hash (blake3): {_b3.hash_bytes(proof_bytes).hex()}")
 
     parsed = proof.from_bytes(proof_bytes)
     assert parsed.to_bytes() == proof_bytes, "serialization round trip failed"
