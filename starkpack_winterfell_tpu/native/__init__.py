@@ -51,6 +51,15 @@ def get_blake3():
                 ctypes.c_void_p,  # out (k x 8 u32)
             ]
             lib.b3_compress_batch.restype = None
+            lib.b3_hash_bytes.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_void_p,
+            ]
+            lib.b3_hash_bytes.restype = None
+            lib.b3_hash_bytes_many.argtypes = [
+                ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.c_void_p,
+            ]
+            lib.b3_hash_bytes_many.restype = None
         _CACHE["b3"] = lib
     return _CACHE["b3"]
 

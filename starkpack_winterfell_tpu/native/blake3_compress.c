@@ -78,3 +78,91 @@ void b3_compress_batch(const uint32_t *cv, const uint32_t *blocks,
         for (int i = 0; i < 8; ++i) o[i] = v[i] ^ v[i + 8];
     }
 }
+
+/* ---- one-shot full BLAKE3 hash (chunking + parent tree) ----------------- */
+
+static void compress_one(const uint32_t *cv, const uint32_t *block,
+                         uint64_t counter, uint32_t block_len, uint32_t flags,
+                         uint32_t *out) {
+    b3_compress_batch(cv, block, counter, block_len, flags, 1, out);
+}
+
+#define B3_CHUNK_START (1u << 0)
+#define B3_CHUNK_END (1u << 1)
+#define B3_PARENT (1u << 2)
+#define B3_ROOT (1u << 3)
+
+/* hash one <=1024-byte chunk into an 8-word CV */
+static void chunk_cv(const uint8_t *data, size_t len, uint64_t counter,
+                     int root_if_single, uint32_t *out) {
+    uint32_t cv[8];
+    for (int i = 0; i < 8; ++i) cv[i] = IV[i];
+    size_t nblocks = (len + 63) / 64;
+    if (nblocks == 0) nblocks = 1;
+    for (size_t b = 0; b < nblocks; ++b) {
+        uint32_t block[16];
+        uint8_t buf[64];
+        size_t off = b * 64;
+        size_t blen = len > off ? (len - off > 64 ? 64 : len - off) : 0;
+        for (size_t i = 0; i < 64; ++i) buf[i] = i < blen ? data[off + i] : 0;
+        for (int i = 0; i < 16; ++i)
+            block[i] = (uint32_t)buf[4 * i] | ((uint32_t)buf[4 * i + 1] << 8) |
+                       ((uint32_t)buf[4 * i + 2] << 16) |
+                       ((uint32_t)buf[4 * i + 3] << 24);
+        uint32_t flags = 0;
+        if (b == 0) flags |= B3_CHUNK_START;
+        if (b == nblocks - 1) {
+            flags |= B3_CHUNK_END;
+            if (root_if_single) flags |= B3_ROOT;
+        }
+        compress_one(cv, block, counter, (uint32_t)blen, flags, cv);
+    }
+    for (int i = 0; i < 8; ++i) out[i] = cv[i];
+}
+
+/* subtree CV per the spec: left child spans the largest power-of-two
+   number of chunks strictly less than the total. */
+static void subtree_cv(const uint8_t *data, uint64_t len, uint64_t counter,
+                       uint32_t *out) {
+    if (len <= 1024) {
+        chunk_cv(data, (size_t)len, counter, 0, out);
+        return;
+    }
+    uint64_t nchunks = (len + 1023) / 1024;
+    uint64_t left_chunks = 1;
+    while (left_chunks * 2 < nchunks) left_chunks *= 2;
+    uint64_t left_len = left_chunks * 1024;
+    uint32_t l[8], r[8], block[16], pc[8];
+    subtree_cv(data, left_len, counter, l);
+    subtree_cv(data + left_len, len - left_len, counter + left_chunks, r);
+    for (int i = 0; i < 8; ++i) block[i] = l[i];
+    for (int i = 0; i < 8; ++i) block[8 + i] = r[i];
+    for (int i = 0; i < 8; ++i) pc[i] = IV[i];
+    compress_one(pc, block, 0, 64, B3_PARENT, out);
+}
+
+/* Full BLAKE3-256 of data[0..len) -> out (8 u32 words). */
+void b3_hash_bytes(const uint8_t *data, uint64_t len, uint32_t *out) {
+    if (len <= 1024) {
+        chunk_cv(data, (size_t)len, 0, 1, out);
+        return;
+    }
+    uint64_t nchunks = (len + 1023) / 1024;
+    uint64_t left_chunks = 1;
+    while (left_chunks * 2 < nchunks) left_chunks *= 2;
+    uint64_t left_len = left_chunks * 1024;
+    uint32_t l[8], r[8], block[16], pc[8];
+    subtree_cv(data, left_len, 0, l);
+    subtree_cv(data + left_len, len - left_len, left_chunks, r);
+    for (int i = 0; i < 8; ++i) block[i] = l[i];
+    for (int i = 0; i < 8; ++i) block[8 + i] = r[i];
+    for (int i = 0; i < 8; ++i) pc[i] = IV[i];
+    compress_one(pc, block, 0, 64, B3_PARENT | B3_ROOT, out);
+}
+
+/* k equal-length messages, rows of n bytes -> k x 8 u32 digests */
+void b3_hash_bytes_many(const uint8_t *data, uint64_t n, uint64_t k,
+                        uint32_t *out) {
+    for (uint64_t i = 0; i < k; ++i)
+        b3_hash_bytes(data + i * n, n, out + i * 8);
+}

@@ -164,6 +164,30 @@ def _compress_impl(cv, block_words, counter: int, block_len: int, flags: int, xp
 
 
 def hash_words(words, byte_len: int, xp=None):
+    # host numpy fast path: one native one-shot hash per row (the verifier
+    # hashes a few hundred short rows; per-row C calls beat the vectorized
+    # numpy compress orchestration below for host-sized batches)
+    if isinstance(words, np.ndarray) and words.ndim == 2 and xp is None:
+        lib = _native_lib()
+        if lib is not None and hasattr(lib, "b3_hash_bytes_many"):
+            import ctypes
+
+            k = words.shape[0]
+            raw = np.ascontiguousarray(words.astype("<u4"))
+            row_bytes = raw.shape[1] * 4
+            buf = raw.tobytes()
+            if byte_len == row_bytes:
+                data = buf
+            else:
+                data = b"".join(
+                    buf[i * row_bytes : i * row_bytes + byte_len]
+                    for i in range(k)
+                )
+            out = np.zeros((k, 8), dtype=np.uint32)
+            lib.b3_hash_bytes_many(
+                data, byte_len, k, out.ctypes.data_as(ctypes.c_void_p)
+            )
+            return out.astype(_U32)
     """Hash rows given as a (..., W) u32 array holding ``byte_len`` bytes of
     little-endian words (W = ceil(byte_len/4), zero-padded).  Vectorized over
     leading axes.  Returns (..., 8) u32 digests.
@@ -275,7 +299,16 @@ def merge_with_int(seed, value: int, xp=None):
 
 
 def hash_bytes(data: bytes, out_len: int = 32) -> bytes:
-    """Full BLAKE3 of arbitrary-length input (host, numpy scalars)."""
+    """Full BLAKE3 of arbitrary-length input (host; one native call when a
+    C compiler is available — the transcript issues thousands of tiny
+    hashes and per-call numpy orchestration dominated verify time)."""
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "b3_hash_bytes"):
+        out = np.zeros(8, dtype=np.uint32)
+        import ctypes
+
+        lib.b3_hash_bytes(data, len(data), out.ctypes.data_as(ctypes.c_void_p))
+        return out.astype("<u4").tobytes()[:out_len]
     n = len(data)
     padded = data + b"\x00" * ((-n) % 4 if n % 4 else 0)
     words = np.frombuffer(padded, dtype="<u4").astype(_U32) if padded else np.zeros(0, _U32)
@@ -295,6 +328,15 @@ def hash_bytes_many(datas, out_len: int = 32):
     scalar call (~0.3 ms), so batching is the entire win."""
     k = len(datas)
     n = len(datas[0])
+    lib = _native_lib()
+    if lib is not None and hasattr(lib, "b3_hash_bytes_many"):
+        out = np.zeros((k, 8), dtype=np.uint32)
+        import ctypes
+
+        lib.b3_hash_bytes_many(b"".join(datas), n, k,
+                               out.ctypes.data_as(ctypes.c_void_p))
+        raw = out.astype("<u4").tobytes()
+        return [raw[i * 32 : i * 32 + out_len] for i in range(k)]
     pad = (-n) % 4
     need = max(16, ((n + 3) // 4 + 15) // 16 * 16)
     tail = b"\x00" * (pad + 4 * (need - (n + pad) // 4))

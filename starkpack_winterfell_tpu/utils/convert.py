@@ -64,12 +64,15 @@ def hash_element_rows(hasher, rows, deg: int, spec=None):
         words = B.rows_to_words(comps, deg)
         digests = hasher.hash_words(words, width * deg * spec.ELEMENT_BYTES)
         return [hasher.digest_to_bytes(digests[i]) for i in range(n)]
-    arr = np.zeros((deg, n, width), dtype=np.uint64)
-    for i, row in enumerate(rows):
-        for j, e in enumerate(row):
-            comps = fs.components(fs.embed(e, deg))
-            for c in range(deg):
-                arr[c, i, j] = comps[c]
+    if deg == 1:
+        arr = np.array(rows, dtype=np.uint64)[None]
+    else:
+        arr = np.zeros((deg, n, width), dtype=np.uint64)
+        for i, row in enumerate(rows):
+            for j, e in enumerate(row):
+                comps = fs.components(fs.embed(e, deg))
+                for c in range(deg):
+                    arr[c, i, j] = comps[c]
     comps = tuple(gl.from_u64(arr[c]) for c in range(deg))
     words = rows_to_words(comps, deg)
     digests = hasher.hash_words(words, width * deg * 8)
