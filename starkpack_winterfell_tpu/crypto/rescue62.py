@@ -147,6 +147,9 @@ class Rp62_248:
             state = apply_permutation_ints(state)
         return digest_to_bytes31(state[:DIGEST_SIZE])
 
+    JITTABLE = False  # host-backed words API: device pipelines must fall
+    # back to the host prover for configs using this transcript hasher
+
     # -- device words api (host-backed) -------------------------------------
 
     @classmethod

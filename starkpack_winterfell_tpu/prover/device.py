@@ -395,6 +395,13 @@ class DeviceProver:
     def prove_device(self, n: int, traces):
         pub0 = self.get_pub_inputs(traces[0])
         air_probe = self.air_class(traces[0].get_info(), pub0, self.options())
+        if not getattr(self.hasher, "JITTABLE", True):
+            # host-backed hasher (Rp62_248): no device commit path exists
+            from .pipeline import Prover as _HostProver
+
+            return _HostProver._generate_proof(
+                self, n, traces, self.options().field_extension
+            )
         if (traces[0].num_aux_segments() > 0
                 or air_probe.field_spec().name != "f64"):
             # aux segments and limb fields run the device-resident mesh

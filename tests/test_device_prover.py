@@ -81,3 +81,18 @@ def test_device_matches_host_f62():
     host_proof = prover.prove(2, traces)
     dev_proof = prover.prove(2, traces, device=True)
     assert dev_proof.to_bytes() == host_proof.to_bytes()
+
+
+def test_device_host_backed_hasher_falls_back():
+    """Rp62_248's words API is host-backed; device=True must transparently
+    produce the (byte-identical) host proof instead of crashing in jit."""
+    from starkpack_winterfell_tpu.crypto.rescue62 import Rp62_248
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f62")
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    traces = [build_trace(16)]
+    prover = prover_cls(options, Rp62_248)
+    host = prover.prove(1, traces)
+    dev = prover.prove(1, traces, device=True)
+    assert dev.to_bytes() == host.to_bytes()
