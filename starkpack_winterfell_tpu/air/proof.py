@@ -21,6 +21,33 @@ def _field(field):
     return field
 
 
+def _parse_felt_words(values: bytes, num_rows: int, row_width: int, ext_deg: int,
+                      spec):
+    """Decode serialized query values into a (num_rows, row_width,
+    ext_deg*limbs) u32 word array in one numpy pass, with a vectorized
+    canonicity check (every component < modulus) — the bulk equivalent of
+    SliceReader.read_felt's per-element validation."""
+    import numpy as np
+
+    nl = spec.ELEMENT_BYTES // 4
+    words = np.frombuffer(values, dtype="<u4").astype(np.uint32)
+    comps = words.reshape(-1, nl)
+    p_limbs = [(spec.P >> (32 * i)) & 0xFFFFFFFF for i in range(nl)]
+    lt = None  # component < P, built top limb down
+    for li in range(nl - 1, -1, -1):
+        c = comps[:, li]
+        pl = np.uint32(p_limbs[li])
+        if lt is None:
+            lt = c < pl
+            eq = c == pl
+        else:
+            lt = lt | (eq & (c < pl))
+            eq = eq & (c == pl)
+    if not bool(lt.all()):
+        raise ValueError("invalid field element >= modulus")
+    return words.reshape(num_rows, row_width, ext_deg * nl)
+
+
 class Context:
     """air/src/proof/context.rs:17."""
 
@@ -148,17 +175,58 @@ class Commitments:
 
 
 class Table:
-    """air/src/proof/table.rs:25 — row-major element table."""
+    """air/src/proof/table.rs:25 — row-major element table.
+
+    Parsed query tables are backed by a u32 word array (``words``, shape
+    (rows, cols, ext_deg * limbs)); python-int rows materialize lazily so
+    the verifier's bulk consumers (DeepComposer) can read limb planes
+    directly without a per-element int round trip."""
 
     def __init__(self, rows):
         """rows: list of lists of elements (ints/tuples)."""
-        self.data = [list(row) for row in rows]
+        self._data = [list(row) for row in rows]
+        self.words = None
+        self._ext_deg = 1
+
+    @classmethod
+    def from_words(cls, words, ext_deg: int):
+        t = cls.__new__(cls)
+        t._data = None
+        t.words = words
+        t._ext_deg = ext_deg
+        return t
+
+    @property
+    def data(self):
+        if self._data is None:
+            q, w, k = self.words.shape
+            nl = k // self._ext_deg
+            flat = self.words.reshape(q * w * self._ext_deg, nl)
+            vals = [0] * flat.shape[0]
+            cols = [flat[:, li].tolist() for li in range(nl)]
+            for li in range(nl):
+                shift = 32 * li
+                col = cols[li]
+                if li == 0:
+                    vals = list(col)
+                else:
+                    vals = [v | (c << shift) for v, c in zip(vals, col)]
+            if self._ext_deg > 1:
+                d = self._ext_deg
+                vals = [
+                    tuple(vals[i * d + c] for c in range(d))
+                    for i in range(q * w)
+                ]
+            self._data = [vals[r * w : (r + 1) * w] for r in range(q)]
+        return self._data
 
     def num_rows(self) -> int:
-        return len(self.data)
+        return self.words.shape[0] if self.words is not None else len(self._data)
 
     def num_columns(self) -> int:
-        return len(self.data[0]) if self.data else 0
+        if self.words is not None:
+            return self.words.shape[1]
+        return len(self._data[0]) if self._data else 0
 
     def rows(self):
         return iter(self.data)
@@ -198,15 +266,15 @@ class Queries:
             raise ValueError(
                 f"expected {expected} query value bytes, but was {len(self.values)}"
             )
-        r = SliceReader(self.values)
-        rows = [
-            r.read_felts(values_per_query, ext_deg, spec.P, spec.ELEMENT_BYTES)
-            for _ in range(num_queries)
-        ]
-        table = Table(rows)
-        from ..utils.convert import hash_element_rows
-
-        hashed = hash_element_rows(hasher, rows, ext_deg, spec)
+        words = _parse_felt_words(
+            self.values, num_queries, values_per_query, ext_deg, spec
+        )
+        table = Table.from_words(words, ext_deg)
+        digests = hasher.hash_words(
+            words.reshape(num_queries, -1),
+            values_per_query * ext_deg * spec.ELEMENT_BYTES,
+        )
+        hashed = [hasher.digest_to_bytes(digests[i]) for i in range(num_queries)]
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
         proof = BatchMerkleProof.deserialize(pr, hashed, depth, hasher)
@@ -277,25 +345,25 @@ class JointTraceQueries:
             raise ValueError(
                 f"expected {expected} query value bytes, but was {len(self.values)}"
             )
-        r = SliceReader(self.values)
-        joint_rows = [
-            r.read_felts(total, ext_deg, spec.P, spec.ELEMENT_BYTES)
-            for _ in range(num_queries)
-        ]
-        joint = Table(joint_rows)
-        from ..utils.convert import hash_element_rows
-
-        hashed = hash_element_rows(hasher, joint_rows, ext_deg, spec)
+        words = _parse_felt_words(self.values, num_queries, total, ext_deg, spec)
+        joint = Table.from_words(words, ext_deg)
+        digests = hasher.hash_words(
+            words.reshape(num_queries, -1), total * ext_deg * spec.ELEMENT_BYTES
+        )
+        hashed = [hasher.digest_to_bytes(digests[i]) for i in range(num_queries)]
         pr = SliceReader(self.paths)
         depth = domain_size.bit_length() - 1
         proof = BatchMerkleProof.deserialize(pr, hashed, depth, hasher)
         if pr.has_more():
             raise ValueError("unconsumed path bytes")
-        # re-split joint rows into per-trace tables
+        # re-split joint rows into per-trace tables (column slices of the
+        # shared word array — no element copies)
         tables = []
         off = 0
         for width in values_per_query_vec:
-            tables.append(Table([row[off : off + width] for row in joint_rows]))
+            tables.append(
+                Table.from_words(words[:, off : off + width], ext_deg)
+            )
             off += width
         return proof, joint, tables
 

@@ -120,6 +120,22 @@ def keccak_f(lanes):
 def sha3_256_words(words, byte_len: int):
     """SHA3-256 of rows of little-endian u32 words (byte_len must be a
     multiple of 8 — field-element rows always are).  Returns (..., 8) u32."""
+    # host fast path: hash_words semantics == SHA3 of the LE byte
+    # serialization, so hashlib's C keccak does each row in one shot (the
+    # vectorized lane-pair kernel below pays ~10k tiny numpy calls per
+    # absorb chain — seconds for wide aggregated-proof leaf rows)
+    if isinstance(words, np.ndarray):
+        import hashlib
+
+        flat = np.ascontiguousarray(
+            words.reshape(-1, words.shape[-1]).astype("<u4")
+        )
+        n_words = byte_len // 4
+        out = np.empty((flat.shape[0], 8), dtype=_U32)
+        for i in range(flat.shape[0]):
+            d = hashlib.sha3_256(flat[i, :n_words].tobytes()).digest()
+            out[i] = np.frombuffer(d, dtype="<u4")
+        return out.reshape(words.shape[:-1] + (8,))
     xp = gl._xp(words)
     batch = words.shape[:-1]
     assert byte_len % 8 == 0

@@ -381,6 +381,21 @@ def _unfelt(f):
     return f.to_elems()[0]
 
 
+def _words_comps(words, deg_in: int, B):
+    """(q, w, deg*nl) u32 word array -> element comps (tuple of deg
+    components, each a tuple of (q, w) limb planes) — LE limb order matches
+    the serialization layout, so this is a pure view/copy, no int math."""
+    import numpy as np
+
+    nl = B.spec.ELEMENT_BYTES // 4
+    return tuple(
+        tuple(
+            np.ascontiguousarray(words[..., c * nl + li]) for li in range(nl)
+        )
+        for c in range(deg_in)
+    )
+
+
 class DeepComposer:
     """verifier/src/composer.rs:55-217 — vectorized: the per-query x/row
     loops run as numpy limb-array ops over all queries at once (exact
@@ -412,6 +427,8 @@ class DeepComposer:
     def _table_limbs(self, table, deg_in: int):
         """Table rows -> (q, w) limb comps promoted to ext degree."""
         B = self.B
+        if table.words is not None:
+            return B.promote(_words_comps(table.words, deg_in, B), self.ext_deg)
         rows = list(table.rows())
         q, w = len(rows), len(rows[0])
         flat = [v for row in rows for v in row]
@@ -447,6 +464,19 @@ class DeepComposer:
         w = queried_main_vec[0].num_columns()
 
         def stack_tables(tables, deg_in):
+            if all(t.words is not None for t in tables):
+                import numpy as np
+
+                W = np.stack([t.words for t in tables])  # (n, q, wt, deg*nl)
+                nl = B.spec.ELEMENT_BYTES // 4
+                comps = tuple(
+                    tuple(
+                        np.ascontiguousarray(W[..., c * nl + li])
+                        for li in range(nl)
+                    )
+                    for c in range(deg_in)
+                )
+                return B.promote(comps, d)
             flat = [v for t in tables for row in t.rows() for v in row]
             comps = B.elems_to_limbs(flat, deg_in)
             q = len(flat) // (n * len(list(tables[0].rows())[0]))

@@ -23,6 +23,11 @@ if "xla_force_host_platform_device_count" not in flags:
 if "xla_cpu_use_fusion_emitters" not in flags:
     flags = (flags + " --xla_cpu_use_fusion_emitters=false").strip()
 os.environ["XLA_FLAGS"] = flags
+# Keep the remote-TPU (axon) plugin out of test processes entirely: an empty
+# POOL_IPS stops the sitecustomize hook from registering it at jax-import
+# time, so a test run can never grab the exclusive TPU tunnel out from under
+# a concurrently running bench/profile process.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
