@@ -110,6 +110,24 @@ def _felt_mds(state, m):
     from ..ops.felt import Felt
 
     B = getattr(state[0], "B", None)
+    if (
+        B is None
+        and hasattr(state[0], "spec")
+        and all(isinstance(s.v, int) for s in state)
+    ):
+        # ScalarFelt fast path: raw-int row dot with ONE reduction per row
+        # (the wrapped per-term path pays ~4us of allocation/coercion per
+        # multiply — the verifier's n-instance OOD loop is built from these)
+        spec = state[0].spec
+        P = spec.P
+        cls = type(state[0])
+        vals = [s.v for s in state]
+        return [
+            cls(
+                sum(m[i][j] * vals[j] for j in range(STATE_WIDTH)) % P, spec
+            )
+            for i in range(STATE_WIDTH)
+        ]
     out = []
     for i in range(STATE_WIDTH):
         acc = None

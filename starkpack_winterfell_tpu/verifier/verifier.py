@@ -96,7 +96,8 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
     t1_batch = None
     if ood_aux_frames[0] is None and len(airs) > 1 and spec.name == "f64":
         # limb fields take the ScalarFelt (python-int) per-instance path
-        # instead — cheaper than tiny limb-array batches
+        # instead — measured: even at n=256 a (n,)-shaped 4-limb batch loses
+        # to python mulmod (a limb mul is ~300 numpy ops regardless of size)
         t1_batch = _batch_main_transition_evals(airs, ood_main_frames, z, ext_deg)
     # periodic columns/values are identical across instances (same AIR class,
     # same z) — evaluate once
@@ -208,7 +209,12 @@ def _batch_main_transition_evals(airs, ood_main_frames, z, ext_deg):
 
     cur = [stack([f.current()[j] for f in ood_main_frames]) for j in range(w)]
     nxt = [stack([f.next()[j] for f in ood_main_frames]) for j in range(w)]
-    pv = [_felt(v, B) for v in _periodic_values_at(air0, z, spec)]
+    # periodic values must be array Felts here (they mix into the (n,)-shaped
+    # batch), not the ScalarFelt wrappers the per-instance limb path uses
+    pv = [
+        Felt(B.scalar_to_limbs(v, 1 if isinstance(v, int) else len(v)), B=B)
+        for v in _periodic_values_at(air0, z, spec)
+    ]
 
     k = air0.context.num_transition_constraints()
     result = [None] * k
