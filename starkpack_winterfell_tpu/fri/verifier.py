@@ -3,8 +3,6 @@ work here is O(num_queries · folding_factor) scalar math)."""
 
 from __future__ import annotations
 
-import numpy as np
-
 from .prover import fold_positions
 
 
@@ -101,17 +99,20 @@ class FriVerifier:
 
         The reference interpolates each queried row with scalar Lagrange
         (polynom::interpolate_batch) — here the rows' x-coordinates form
-        cosets x_e * <w_N>, so row interpolation is one batched size-N
-        inverse DFT + per-row inverse-offset scaling (identical coefficients
-        — the interpolant is unique), and the alpha/remainder evaluations
-        are batched Horner over numpy limb arrays."""
-        from ..ops.backend import get_backend
+        cosets x_e * <w_N>, so row interpolation is one size-N inverse DFT
+        per row (identical coefficients — the interpolant is unique), and
+        the row evaluation at alpha collapses to one Horner in
+        beta_e = alpha / x_e (since p_row coeff j = q_row coeff j * x_e^-j).
 
+        All math here is python-int mulmod: the working set is only
+        num_queries x folding_factor elements per layer, where numpy limb
+        kernels pay ~300 array-op dispatches per multiply and lose by ~20x
+        (same finding as the verifier's ScalarFelt OOD path)."""
         if len(evaluations) != len(positions):
             raise FriVerificationError("position/evaluation count mismatch")
         P = self.field.P
         N = self.options.folding_factor
-        B = get_backend(self.field.name)
+        spec = self.field
         d = self.ext_deg
 
         domain_generator = self.domain_generator
@@ -126,10 +127,6 @@ class FriVerifier:
         idft = [
             [pow(w_inv, i * j, P) * n_inv % P for i in range(N)] for j in range(N)
         ]
-        idft_l = B.emap(
-            lambda a: a.reshape(N, N),
-            B.elems_to_limbs([v for row in idft for v in row], 1),
-        )
 
         for depth in range(self.options.num_fri_layers(self.domain_size)):
             folded_positions = fold_positions(positions, domain_size, N)
@@ -143,36 +140,36 @@ class FriVerifier:
                 raise FriVerificationError(f"invalid layer folding at depth {depth}")
 
             offs = self.field.GENERATOR
-            k = len(folded_positions)
-            # q_row(y) := p_row(x_e * y) has evaluations layer_values over
-            # <w_N>; its coefficients come from the idft matrix, and
-            # p_row coeff j = q_row coeff j * x_e^{-j}
-            v = B.promote(
-                B.emap(
-                    lambda a: a.reshape(k, 1, N),
-                    B.elems_to_limbs([e for row in layer_values for e in row], d),
-                ),
-                d,
-            )
-            cq = B.vsum(B.vmul(v, idft_l), axis=-1)  # (k, N)
+            alpha = self.layer_alphas[depth]
             xe = [
                 pow(domain_generator, i, P) * offs % P for i in folded_positions
             ]
-            xinv = B.b_batch_inv(B.b_from_ints(xe))  # (k,) base
-            cur = B.b_ones((k,))
-            xinv_pows = [cur]
-            for _ in range(N - 1):
-                cur = B.bmul(cur, xinv)
-                xinv_pows.append(cur)
-            xp_limbs = tuple(
-                np.stack([p[li] for p in xinv_pows], axis=-1)
-                for li in range(len(xinv_pows[0]))
-            )  # (k, N) per limb
-            row_polys = B.vmul(cq, (xp_limbs,))  # ext * base
-            alpha = self.layer_alphas[depth]
-            alpha_l = B.scalar_to_limbs(alpha, d)
-            ev = B.horner(row_polys, alpha_l, axis=-1)  # (k,)
-            evaluations = B.limbs_to_elems(ev, d)
+            xinv = _batch_inv_int(xe, P)
+            if d == 1:
+                # beta_e = alpha * x_e^-1; ev_e = sum_j cq[e][j] beta_e^j
+                evaluations = []
+                for row, xi in zip(layer_values, xinv):
+                    beta = alpha * xi % P
+                    acc = 0
+                    for j in range(N - 1, -1, -1):
+                        c = 0
+                        mj = idft[j]
+                        for i in range(N):
+                            c += row[i] * mj[i]
+                        acc = (acc * beta + c) % P
+                    evaluations.append(acc)
+            else:
+                evaluations = []
+                for row, xi in zip(layer_values, xinv):
+                    beta = spec.mul_base(alpha, xi)
+                    acc = spec.zero(d)
+                    for j in range(N - 1, -1, -1):
+                        c = spec.zero(d)
+                        mj = idft[j]
+                        for i in range(N):
+                            c = spec.fadd(c, spec.mul_base(row[i], mj[i]))
+                        acc = spec.fadd(spec.fmul(acc, beta), c)
+                    evaluations.append(acc)
 
             if max_degree_plus_1 % N != 0:
                 raise FriVerificationError("degree truncation")
@@ -190,11 +187,36 @@ class FriVerifier:
                 offset * pow(domain_generator, position, P) % P
                 for position in positions
             ]
-            rem = B.promote(B.elems_to_limbs(list(remainder_poly), d), d)
-            xl = B.promote((B.b_from_ints(xs),), d)
-            got = B.limbs_to_elems(B.horner(rem, xl, axis=-1), d)
+            if d == 1:
+                got = []
+                for x in xs:
+                    acc = 0
+                    for c in reversed(remainder_poly):
+                        acc = (acc * x + c) % P
+                    got.append(acc)
+            else:
+                got = []
+                for x in xs:
+                    acc = spec.zero(d)
+                    for c in reversed(remainder_poly):
+                        acc = spec.fadd(spec.mul_base(acc, x), c)
+                    got.append(acc)
             if got != evaluations:
                 raise FriVerificationError("invalid remainder folding")
+
+
+def _batch_inv_int(xs, P):
+    """Montgomery batch inversion over python ints (one fermat pow total)."""
+    k = len(xs)
+    pref = [1] * (k + 1)
+    for i, x in enumerate(xs):
+        pref[i + 1] = pref[i] * x % P
+    inv = pow(pref[k], P - 2, P)
+    out = [0] * k
+    for i in range(k - 1, -1, -1):
+        out[i] = pref[i] * inv % P
+        inv = inv * xs[i] % P
+    return out
 
 
 def _get_query_values(values, positions, folded_positions, domain_size, N):

@@ -43,8 +43,21 @@ class ByteWriter:
                 self.buf += int(c).to_bytes(elem_bytes, "little")
 
     def write_felts(self, vs, elem_bytes: int = 8):
+        # flatten ext tuples, then emit all components in one C-level pass
+        # (int.to_bytes per element dominates hash_elements at 8-byte width)
+        flat = []
         for v in vs:
-            self.write_felt(v, elem_bytes)
+            if isinstance(v, int):
+                flat.append(v)
+            else:
+                flat.extend(v)
+        if elem_bytes == 8:
+            import numpy as np
+
+            self.buf += np.asarray(flat, dtype=np.uint64).tobytes()
+        else:
+            for c in flat:
+                self.buf += int(c).to_bytes(elem_bytes, "little")
 
     def to_bytes(self) -> bytes:
         return bytes(self.buf)
