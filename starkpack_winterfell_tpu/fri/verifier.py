@@ -159,15 +159,20 @@ class FriVerifier:
                         acc = (acc * beta + c) % P
                     evaluations.append(acc)
             else:
+                # component-wise idft row-sum with ONE mod per component
+                # (spec.mul_base/fadd per term costs ~4x in call overhead)
                 evaluations = []
+                rng_n, rng_d = range(N), range(d)
                 for row, xi in zip(layer_values, xinv):
                     beta = spec.mul_base(alpha, xi)
+                    rowc = [spec.components(e) for e in row]
                     acc = spec.zero(d)
                     for j in range(N - 1, -1, -1):
-                        c = spec.zero(d)
                         mj = idft[j]
-                        for i in range(N):
-                            c = spec.fadd(c, spec.mul_base(row[i], mj[i]))
+                        c = tuple(
+                            sum(rowc[i][t] * mj[i] for i in rng_n) % P
+                            for t in rng_d
+                        )
                         acc = spec.fadd(spec.fmul(acc, beta), c)
                     evaluations.append(acc)
 
@@ -195,12 +200,13 @@ class FriVerifier:
                         acc = (acc * x + c) % P
                     got.append(acc)
             else:
+                rem_c = [spec.components(c) for c in reversed(remainder_poly)]
                 got = []
                 for x in xs:
-                    acc = spec.zero(d)
-                    for c in reversed(remainder_poly):
-                        acc = spec.fadd(spec.mul_base(acc, x), c)
-                    got.append(acc)
+                    acc = [0] * d
+                    for c in rem_c:
+                        acc = [(acc[t] * x + c[t]) % P for t in range(d)]
+                    got.append(tuple(acc))
             if got != evaluations:
                 raise FriVerificationError("invalid remainder folding")
 

@@ -534,8 +534,25 @@ class DeepComposer:
         )
         final_num = B.vsum(num, axis=0)  # (q,)
         den = B.vmul(self._t1_den, self._t2_den)
-        out = B.vmul(final_num, B.vinv(den))
+        out = B.vmul(final_num, self._batch_inv_limbs(den))
         return B.limbs_to_elems(out, self.ext_deg)
+
+    def _batch_inv_limbs(self, den):
+        """Invert a small (q,)-shaped ext limb array via python-int Montgomery
+        batch inversion (B.vinv is a Fermat exp chain — ~64 limb-array squares
+        dominate the whole verify at these sizes)."""
+        B, spec, d = self.B, self.fs, self.ext_deg
+        xs = B.limbs_to_elems(den, d)
+        k = len(xs)
+        pref = [spec.one(d)] * (k + 1)
+        for i, x in enumerate(xs):
+            pref[i + 1] = spec.fmul(pref[i], x)
+        inv = spec.finv(pref[k])
+        out = [None] * k
+        for i in range(k - 1, -1, -1):
+            out[i] = spec.fmul(pref[i], inv)
+            inv = spec.fmul(inv, xs[i])
+        return B.promote(B.elems_to_limbs(out, d), d)
 
     def compose_constraint_evaluations(self, queried_evaluations, ood_evaluations):
         B = self.B
@@ -544,5 +561,5 @@ class DeepComposer:
         k = self._cc_limbs(self.cc.constraints)
         num = B.vsum(B.vmul(B.vsub(T, ood), k), axis=-1)
         den = B.vsub(self._x, B.scalar_to_limbs(self.z[0], self.ext_deg))
-        out = B.vmul(num, B.vinv(den))
+        out = B.vmul(num, self._batch_inv_limbs(den))
         return B.limbs_to_elems(out, self.ext_deg)
