@@ -33,7 +33,22 @@ INV_ALPHA = 10540996611094048183
 # ---------------------------------------------------------------------------
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
 def apply_permutation_ints(state):
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        from ._native_perm import make_native_permute
+
+        _NATIVE = make_native_permute(
+            "rp64_256", P, STATE_WIDTH, NUM_ROUNDS, ALPHA, INV_ALPHA,
+            MDS, ARK1, ARK2,
+        )
+    if _NATIVE is not None:
+        return _NATIVE(state)
     for r in range(NUM_ROUNDS):
         state = [pow(x, ALPHA, P) for x in state]
         state = _mds_ints(state)
@@ -178,6 +193,18 @@ class Rp64_256:
         state = apply_permutation_ints(state)
         return _digest_bytes(state)
 
+    @classmethod
+    def merge_many(cls, pairs):
+        """Batched 2-to-1 merges in one native call (Merkle verification)."""
+        sponge = _native_sponge()
+        if sponge is None or not pairs:
+            return [cls.merge(a, b) for a, b in pairs]
+        l = np.frombuffer(b"".join(a for a, _ in pairs), dtype="<u8")
+        r = np.frombuffer(b"".join(b for _, b in pairs), dtype="<u8")
+        out = sponge[1](l.reshape(-1, 4), r.reshape(-1, 4))
+        ob = out.astype("<u8").tobytes()
+        return [ob[i * 32 : (i + 1) * 32] for i in range(len(pairs))]
+
     # -- device words api ---------------------------------------------------
 
     @staticmethod
@@ -187,6 +214,10 @@ class Rp64_256:
         xp = gl._xp(words)
         assert byte_len % 8 == 0
         n_elems = byte_len // 8
+        if xp is np:
+            out = _native_hash_words(np.asarray(words), n_elems)
+            if out is not None:
+                return out
         lo = words[..., 0 : 2 * n_elems : 2]
         hi = words[..., 1 : 2 * n_elems : 2]
         batch = words.shape[:-1]
@@ -211,6 +242,10 @@ class Rp64_256:
     @staticmethod
     def merge_words(l, r):
         xp = gl._xp(l)
+        if xp is np:
+            out = _native_merge_words(np.asarray(l), np.asarray(r))
+            if out is not None:
+                return out
         batch = l.shape[:-1]
         state = [gl.zeros(batch, xp) for _ in range(STATE_WIDTH)]
         eight = gl.from_int(RATE)
@@ -240,6 +275,46 @@ def _digest_bytes(state) -> bytes:
     for i in range(CAPACITY, CAPACITY + DIGEST_SIZE):
         out += int(state[i]).to_bytes(8, "little")
     return out
+
+
+_NATIVE_SPONGE = None
+_NATIVE_SPONGE_TRIED = False
+
+
+def _native_sponge():
+    global _NATIVE_SPONGE, _NATIVE_SPONGE_TRIED
+    if not _NATIVE_SPONGE_TRIED:
+        _NATIVE_SPONGE_TRIED = True
+        from ._native_perm import make_native_sponge
+
+        _NATIVE_SPONGE = make_native_sponge(
+            "rp64_256", P, STATE_WIDTH, NUM_ROUNDS, ALPHA, INV_ALPHA,
+            MDS, ARK1, ARK2, CAPACITY, RATE, 0, CAPACITY, DIGEST_SIZE,
+        )
+    return _NATIVE_SPONGE
+
+
+def _native_hash_words(words, n_elems):
+    sponge = _native_sponge()
+    if sponge is None:
+        return None
+    from ._native_perm import u64_to_words, words_to_u64
+
+    shape = words.shape[:-1]
+    vals = words_to_u64(words.reshape(-1, words.shape[-1]), n_elems)
+    return u64_to_words(sponge[0](vals)).reshape(shape + (2 * DIGEST_SIZE,))
+
+
+def _native_merge_words(l, r):
+    sponge = _native_sponge()
+    if sponge is None:
+        return None
+    from ._native_perm import u64_to_words, words_to_u64
+
+    shape = l.shape
+    lv = words_to_u64(l.reshape(-1, l.shape[-1]), DIGEST_SIZE)
+    rv = words_to_u64(r.reshape(-1, r.shape[-1]), DIGEST_SIZE)
+    return u64_to_words(sponge[1](lv, rv)).reshape(shape)
 
 
 def _digest_words(state, xp):

@@ -28,7 +28,22 @@ MASK62 = (1 << 62) - 1
 MASK64 = (1 << 64) - 1
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
 def apply_permutation_ints(state):
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        from ._native_perm import make_native_permute
+
+        _NATIVE = make_native_permute(
+            "rp62_248", P62, STATE_WIDTH, NUM_ROUNDS, ALPHA, INV_ALPHA,
+            MDS62, ARK1_62, ARK2_62,
+        )
+    if _NATIVE is not None:
+        return _NATIVE(state)
     for r in range(NUM_ROUNDS):
         state = [pow(x, ALPHA, P62) for x in state]
         state = _mds(state)
@@ -67,6 +82,54 @@ def digest_from_bytes31(b: bytes):
         (w >> (62 * i)) & MASK62
         for i in range(DIGEST_SIZE)
     ]
+
+
+_NATIVE_SPONGE = None
+_NATIVE_SPONGE_TRIED = False
+
+
+def _native_sponge():
+    global _NATIVE_SPONGE, _NATIVE_SPONGE_TRIED
+    if not _NATIVE_SPONGE_TRIED:
+        _NATIVE_SPONGE_TRIED = True
+        from ._native_perm import make_native_sponge
+
+        # legacy rate-first layout: absorb at state[0..8), count tag in
+        # state[11], digest = state[0..4)
+        _NATIVE_SPONGE = make_native_sponge(
+            "rp62_248", P62, STATE_WIDTH, NUM_ROUNDS, ALPHA, INV_ALPHA,
+            MDS62, ARK1_62, ARK2_62, 0, RATE, STATE_WIDTH - 1, 0, DIGEST_SIZE,
+        )
+    return _NATIVE_SPONGE
+
+
+def _pack_digests_words(dig):
+    """(n, 4) u64 digest elements -> (n, 8) u32 packed 31-byte digest words
+    (vectorized digest_to_bytes31 + zero pad byte)."""
+    v1, v2, v3, v4 = (dig[:, i] for i in range(4))
+    s = np.uint64
+    w0 = v1 | (v2 << s(62))
+    w1 = (v2 >> s(2)) | (v3 << s(60))
+    w2 = (v3 >> s(4)) | (v4 << s(58))
+    w3 = v4 >> s(6)  # < 2^56: byte 31 of the packed form is always zero
+    packed = np.stack([w0, w1, w2, w3], axis=-1)
+    from ._native_perm import u64_to_words
+
+    return u64_to_words(packed)
+
+
+def _unpack_digests_words(words):
+    """(n, 8) u32 packed digest words -> (n, 4) u64 digest elements
+    (vectorized digest_from_bytes31)."""
+    u = words.astype(np.uint64)
+    w = u[:, 0::2] | (u[:, 1::2] << np.uint64(32))  # (n, 4) packed u64
+    s = np.uint64
+    M = s(MASK62)
+    v1 = w[:, 0] & M
+    v2 = ((w[:, 0] >> s(62)) | (w[:, 1] << s(2))) & M
+    v3 = ((w[:, 1] >> s(60)) | (w[:, 2] << s(4))) & M
+    v4 = ((w[:, 2] >> s(58)) | (w[:, 3] << s(6))) & M
+    return np.stack([v1, v2, v3, v4], axis=-1)
 
 
 class Rp62_248:
@@ -125,6 +188,24 @@ class Rp62_248:
         return digest_to_bytes31(state[:DIGEST_SIZE])
 
     @classmethod
+    def merge_many(cls, pairs):
+        """Batched 2-to-1 merges in one native call (Merkle verification)."""
+        sponge = _native_sponge()
+        if sponge is None or not pairs:
+            return [cls.merge(a, b) for a, b in pairs]
+        l = np.frombuffer(
+            b"".join(a[:31] + b"\x00" for a, _ in pairs), dtype="<u4"
+        ).reshape(-1, 8)
+        r = np.frombuffer(
+            b"".join(b[:31] + b"\x00" for _, b in pairs), dtype="<u4"
+        ).reshape(-1, 8)
+        out = _pack_digests_words(
+            sponge[1](_unpack_digests_words(l), _unpack_digests_words(r))
+        )
+        ob = out.tobytes()
+        return [ob[i * 32 : i * 32 + 31] for i in range(len(pairs))]
+
+    @classmethod
     def hash_elements(cls, elements, elem_bytes: int = 8) -> bytes:
         """mod.rs:195-230 — rate-first absorption, count tag in state[11]."""
         assert elem_bytes == 8, "Rp62_248 is native to f62 (8-byte elements)"
@@ -160,20 +241,33 @@ class Rp62_248:
         assert byte_len == w2 * 4
         u64 = arr.astype(np.uint64)
         vals = u64[:, 0::2] | (u64[:, 1::2] << np.uint64(32))
-        out = np.zeros((n, 8), dtype=np.uint32)
-        for i in range(n):
-            d = cls.hash_elements([int(v) for v in vals[i]])
-            out[i] = np.frombuffer(d + b"\x00", dtype="<u4")
+        sponge = _native_sponge()
+        if sponge is not None:
+            dig = sponge[0](vals)
+            out = _pack_digests_words(dig)
+        else:
+            out = np.zeros((n, 8), dtype=np.uint32)
+            for i in range(n):
+                d = cls.hash_elements([int(v) for v in vals[i]])
+                out[i] = np.frombuffer(d + b"\x00", dtype="<u4")
         return out.reshape(np.asarray(words).shape[:-1] + (8,))
 
     @classmethod
     def merge_words(cls, l, r):
         la = np.asarray(l).reshape(-1, 8)
         ra = np.asarray(r).reshape(-1, 8)
-        out = np.zeros_like(la)
-        for i in range(la.shape[0]):
-            d = cls.merge(cls.digest_to_bytes(la[i]), cls.digest_to_bytes(ra[i]))
-            out[i] = np.frombuffer(d + b"\x00", dtype="<u4")
+        sponge = _native_sponge()
+        if sponge is not None:
+            out = _pack_digests_words(
+                sponge[1](_unpack_digests_words(la), _unpack_digests_words(ra))
+            )
+        else:
+            out = np.zeros_like(la)
+            for i in range(la.shape[0]):
+                d = cls.merge(
+                    cls.digest_to_bytes(la[i]), cls.digest_to_bytes(ra[i])
+                )
+                out[i] = np.frombuffer(d + b"\x00", dtype="<u4")
         return out.reshape(np.asarray(l).shape)
 
     @staticmethod

@@ -21,7 +21,22 @@ DIGEST_SIZE = 4
 NUM_ROUNDS = 7
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
 def apply_permutation_ints(state):
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        from ._native_perm import make_native_permute
+
+        _NATIVE = make_native_permute(
+            "rp_jive64_256", P, STATE_WIDTH, NUM_ROUNDS, 7, INV_ALPHA,
+            MDS8, ARK1_8, ARK2_8,
+        )
+    if _NATIVE is not None:
+        return _NATIVE(state)
     for r in range(NUM_ROUNDS):
         state = [pow(x, 7, P) for x in state]
         state = _mds_ints(state)

@@ -16,22 +16,27 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _CACHE: dict = {}
 
 
-def _build(name: str, src: str):
+def _build(name: str, src: str, extra=()):
     so = os.path.join(_DIR, f"lib{name}.so")
     csrc = os.path.join(_DIR, src)
     if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(csrc):
-        for cc in ("cc", "gcc", "clang"):
-            try:
-                subprocess.run(
-                    [cc, "-O3", "-shared", "-fPIC", csrc, "-o", so],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
+        done = False
+        for flags in ((*extra,), ()) if extra else ((),):
+            for cc in ("cc", "gcc", "clang"):
+                try:
+                    subprocess.run(
+                        [cc, "-O3", "-shared", "-fPIC", *flags, csrc, "-o", so],
+                        check=True,
+                        capture_output=True,
+                        timeout=120,
+                    )
+                    done = True
+                    break
+                except (OSError, subprocess.SubprocessError):
+                    continue
+            if done:
                 break
-            except (OSError, subprocess.SubprocessError):
-                continue
-        else:
+        if not done:
             return None
     return ctypes.CDLL(so)
 
@@ -86,6 +91,47 @@ def get_builders():
             lib.fib_trace.restype = None
         _CACHE["builders"] = lib
     return _CACHE["builders"]
+
+
+_RP_SLOTS: dict = {}
+
+
+def get_rescue_perm(name: str, P: int, width: int, rounds: int, alpha: int,
+                    inv_alpha: int, mds, ark1, ark2):
+    """(lib, slot) for a registered Rescue-Prime permutation config, or
+    None if no compiler.  mds/ark1/ark2 are nested int lists; each distinct
+    `name` gets its own config slot in rescue_perm.c."""
+    if "rp" not in _CACHE:
+        lib = _build("starkrp", "rescue_perm.c", extra=("-fopenmp",))
+        if lib is not None:
+            u64 = ctypes.c_uint64
+            i32 = ctypes.c_int
+            p = ctypes.c_void_p
+            lib.rp_init.argtypes = [i32, u64, i32, i32, u64, u64, p, p, p]
+            lib.rp_permute_batch.argtypes = [i32, p, u64]
+            lib.rp_hash_elements_batch.argtypes = [
+                i32, p, u64, u64, i32, i32, i32, i32, i32, p,
+            ]
+            lib.rp_merge_batch.argtypes = [i32, p, p, u64, i32, i32, i32, i32, p]
+        _CACHE["rp"] = lib
+    lib = _CACHE["rp"]
+    if lib is None:
+        return None
+    if name not in _RP_SLOTS:
+        import numpy as np
+
+        slot = len(_RP_SLOTS)
+        if slot >= 8:
+            return None
+        m = np.array([v for row in mds for v in row], dtype=np.uint64)
+        a1 = np.array([v for r in ark1 for v in r], dtype=np.uint64)
+        a2 = np.array([v for r in ark2 for v in r], dtype=np.uint64)
+        pv = ctypes.c_void_p
+        lib.rp_init(slot, P, width, rounds, alpha, inv_alpha,
+                    m.ctypes.data_as(pv), a1.ctypes.data_as(pv),
+                    a2.ctypes.data_as(pv))
+        _RP_SLOTS[name] = slot
+    return lib, _RP_SLOTS[name]
 
 
 def get_rescue128():
