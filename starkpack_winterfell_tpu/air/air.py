@@ -146,12 +146,19 @@ class Air:
     # periodic columns are structural per AIR type + trace length (the
     # reference's trait derives them from the AIR shape, never from public
     # inputs — air/src/air/mod.rs:292), so their interpolations are cached
-    # process-wide
+    # process-wide; an AIR whose columns depend on anything else MUST extend
+    # the key via periodic_cache_key (e.g. the aggregated Lamport block size)
     _periodic_polys_cache: dict = {}
+
+    def periodic_cache_key(self):
+        """Extra key material for the periodic-poly cache — override when
+        get_periodic_column_values() depends on more than (type, length)."""
+        return ()
 
     def get_periodic_column_polys(self):
         """Interpolate each periodic column into coefficient form (cached)."""
-        key = (type(self), self.trace_length(), self.context.field.name)
+        key = (type(self), self.trace_length(), self.context.field.name,
+               self.periodic_cache_key())
         cached = Air._periodic_polys_cache.get(key)
         if cached is not None:
             return cached

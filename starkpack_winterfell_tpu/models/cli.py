@@ -87,6 +87,18 @@ def get_example(name: str):
             return lam.build_lamport128_trace(message, sig, k)
 
         return lam.Lamport128Air, lam.Lamport128Prover, build128
+    if name == "lamport128-agg":
+        from . import lamport128_agg as lagg
+
+        def build_agg(i, l):
+            # one trace aggregating l/1024 signatures over 127-bit messages
+            # (1024 rows per signature — the reference benchmark's block)
+            k = 127
+            n_sigs = max(1, l // (8 * (k + 1)))
+            messages, _, sigs = lagg.make_wallet(n_sigs, k, seed=i)
+            return lagg.build_lamport128_agg_trace(messages, sigs, k)
+
+        return lagg.Lamport128AggAir, lagg.Lamport128AggProver, build_agg
     if name.startswith("fib-"):
         from .fib_multifield import get_fib_family
 
@@ -103,7 +115,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("example", choices=[
         "do-work", "fib", "rescue-chain", "rescue128-chain", "perm", "lamport",
-        "lamport128", "merkle128", "fib-f62", "fib-f128",
+        "lamport128", "lamport128-agg", "merkle128", "fib-f62", "fib-f128",
     ])
     p.add_argument("-n", "--num-traces", type=int, default=2)
     p.add_argument("-l", "--trace-length", type=int, default=1024,

@@ -45,6 +45,9 @@ GOLDEN = [
      "3f6228806d9ff414e269bf279efdcf75f3f2e86f621fd476ea7c302b6b3908e8"),
     (("merkle128", "sha3_256", 1, 64, 16, 8, 0, 2, 4, 31), 13304,
      "f9033cbf4bad68055bed5135e6ea4d77db289511635136328952b00d909e0140"),
+    # single-trace aggregated Lamport (sequence assertions + block resets)
+    (("lamport128-agg", "sha3_256", 1, 2048, 16, 8, 0, 1, 4, 31), 27424,
+     "6856c605f2d5d6de8f48490cf94b5d9f14dbce31b7e659c2d53c13be62c11b35"),
 ]
 
 
