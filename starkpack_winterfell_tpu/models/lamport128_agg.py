@@ -197,17 +197,76 @@ class Lamport128AggAir(Air):
 
 def make_wallet(n_sigs: int, k: int = 127, seed: int = 0):
     """n independent keypairs + random k-bit messages + signatures.
-    Returns (messages, pub_keys, sigs)."""
+    Returns (messages, pub_keys, sigs).  Bit-identical to looping
+    lamport128.keygen per signature, but all 2*n*k pk-hash digests and all
+    n pub-key sponges run as two batched native calls (OpenMP-parallel)."""
     import random
 
+    from .lamport128 import _digest_pairs_batch  # python fallback path
+    from .. import native as _native
+
     rng = random.Random(seed ^ 0xA55)
-    messages, pub_keys, sigs = [], [], []
+    all_secrets = []
     for s in range(n_sigs):
-        secrets, pk_hashes, pub_key = keygen(k, seed=seed + 1000003 * s)
-        message = rng.getrandbits(k) | (1 << (k - 1))
-        messages.append(message)
-        pub_keys.append(pub_key)
-        sigs.append(sign(secrets, pk_hashes, message, k))
+        srng = random.Random(seed + 1000003 * s)
+        all_secrets.append(
+            [[[srng.randrange(P), srng.randrange(P)] for _ in range(2)]
+             for _ in range(k)]
+        )
+    messages = [rng.getrandbits(k) | (1 << (k - 1)) for _ in range(n_sigs)]
+
+    lib = _native.get_rescue128()
+    if lib is None:
+        pk_hashes_all = [_digest_pairs_batch(sec, k) for sec in all_secrets]
+        from .lamport128 import _digest_native
+
+        pub_keys = []
+        for pk_hashes in pk_hashes_all:
+            flat = []
+            for h0, h1 in pk_hashes:
+                flat.extend(h0)
+                flat.extend(h1)
+            pub_keys.append(_digest_native(flat))
+    else:
+        import ctypes
+
+        mask = 0xFFFFFFFFFFFFFFFF
+        flat = np.empty(n_sigs * k * 2 * 2 * 2, dtype=np.uint64)
+        i = 0
+        for sec in all_secrets:
+            for pair in sec:
+                for side in pair:
+                    for e in side:
+                        flat[i] = e & mask
+                        flat[i + 1] = e >> 64
+                        i += 2
+        vp = ctypes.c_void_p
+        # one digest per (sig, bit, side): m=2 elements each
+        hashes = np.zeros(n_sigs * k * 2 * 4, dtype=np.uint64)
+        lib.r128_digest_batch(flat.ctypes.data_as(vp), 2, n_sigs * k * 2,
+                              hashes.ctypes.data_as(vp))
+        h = hashes.reshape(n_sigs, k, 2, 2, 2)  # (sig, bit, side, elem, limb)
+        # pub key per sig = digest of all 4k pk-hash elements in order
+        pk_in = np.ascontiguousarray(
+            h.reshape(n_sigs, k * 2 * 2, 2))  # (sig, 4k elems, limbs)
+        pk_out = np.zeros(n_sigs * 4, dtype=np.uint64)
+        lib.r128_digest_batch(pk_in.ctypes.data_as(vp), 4 * k, n_sigs,
+                              pk_out.ctypes.data_as(vp))
+        pk_hashes_all = [
+            [[[int(h[s, i_, sd, 0, 0]) | (int(h[s, i_, sd, 0, 1]) << 64),
+               int(h[s, i_, sd, 1, 0]) | (int(h[s, i_, sd, 1, 1]) << 64)]
+              for sd in range(2)]
+             for i_ in range(k)]
+            for s in range(n_sigs)
+        ]
+        pub_keys = [
+            [int(pk_out[4 * s]) | (int(pk_out[4 * s + 1]) << 64),
+             int(pk_out[4 * s + 2]) | (int(pk_out[4 * s + 3]) << 64)]
+            for s in range(n_sigs)
+        ]
+
+    sigs = [sign(all_secrets[s], pk_hashes_all[s], messages[s], k)
+            for s in range(n_sigs)]
     return messages, pub_keys, sigs
 
 
@@ -232,33 +291,40 @@ def build_lamport128_agg_trace(messages, sigs, k: int = 127) -> TraceTable:
 
 def _build_agg_native(messages, sigs, k: int):
     import ctypes
-    import os
-    from concurrent.futures import ThreadPoolExecutor
 
     from .. import native as _native
-    from .lamport128 import _build_lamport128_trace_native
 
     lib = _native.get_rescue128()
     if lib is None:
         return None
     n = len(messages)
     block = CYCLE_LENGTH * (k + 1)
+    mask = 0xFFFFFFFFFFFFFFFF
+    bits = np.empty(n * k, dtype=np.uint64)
+    rev = np.empty(n * 4 * k, dtype=np.uint64)
+    oth = np.empty(n * 4 * k, dtype=np.uint64)
+    for s in range(n):
+        m = messages[s]
+        sig = sigs[s]
+        for c in range(k):
+            bits[s * k + c] = (m >> (k - 1 - c)) & 1
+            revealed, other = sig[c]
+            o = s * 4 * k + 4 * c
+            rev[o] = revealed[0] & mask
+            rev[o + 1] = revealed[0] >> 64
+            rev[o + 2] = revealed[1] & mask
+            rev[o + 3] = revealed[1] >> 64
+            oth[o] = other[0] & mask
+            oth[o + 1] = other[0] >> 64
+            oth[o + 2] = other[1] & mask
+            oth[o + 3] = other[1] >> 64
     lo = np.zeros((TRACE_WIDTH, n * block), dtype=np.uint64)
     hi = np.zeros((TRACE_WIDTH, n * block), dtype=np.uint64)
-
-    def build_one(s):
-        t = _build_lamport128_trace_native(messages[s], sigs[s], k)
-        blo, bhi = t._pair_columns
-        lo[:, s * block : (s + 1) * block] = blo
-        hi[:, s * block : (s + 1) * block] = bhi
-
-    workers = min(n, os.cpu_count() or 1)
-    if workers > 1:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(build_one, range(n)))
-    else:
-        for s in range(n):
-            build_one(s)
+    vp = ctypes.c_void_p
+    lib.lamport128_trace_batch(
+        n, k, bits.ctypes.data_as(vp), rev.ctypes.data_as(vp),
+        oth.ctypes.data_as(vp), lo.ctypes.data_as(vp), hi.ctypes.data_as(vp),
+    )
     meta = n.to_bytes(4, "little")
     return TraceTable.from_u64_pairs(lo, hi, "f128", meta=meta)
 

@@ -138,7 +138,7 @@ def get_rescue128():
     """ctypes handle for the f128 Rescue128 wallet kernels (rescue128.c),
     initialized with the protocol constants; None if no compiler."""
     if "r128" not in _CACHE:
-        lib = _build("starkr128", "rescue128.c")
+        lib = _build("starkr128", "rescue128.c", extra=("-fopenmp",))
         if lib is not None:
             import numpy as np
 
@@ -149,6 +149,7 @@ def get_rescue128():
             lib.r128_init.argtypes = [p, p, p]
             lib.r128_digest_batch.argtypes = [p, u64, u64, p]
             lib.lamport128_trace.argtypes = [u64, p, p, p, p, p]
+            lib.lamport128_trace_batch.argtypes = [u64, u64, p, p, p, p, p]
 
             def pairs(vals):
                 flat = []

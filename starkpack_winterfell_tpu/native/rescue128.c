@@ -136,6 +136,9 @@ static inline void permute(u128* s) {
 // digest of m elements (sponge rate 4, no padding — rescue.rs:96-117),
 // batched over n inputs; inputs n*m*(lo,hi), out n*2*(lo,hi)
 void r128_digest_batch(const u64* inputs, u64 m, u64 n, u64* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n > 64)
+#endif
   for (u64 b = 0; b < n; b++) {
     const u64* in = inputs + b * m * 2;
     u128 state[W] = {0, 0, 0, 0, 0, 0};
@@ -157,10 +160,14 @@ void r128_digest_batch(const u64* inputs, u64 m, u64 n, u64* out) {
 // Lamport+ signature-verification trace (models/lamport128.py
 // build_lamport128_trace): 14 columns x 8*(k+1) rows, column-major,
 // out_lo/out_hi each 14*length u64.
-void lamport128_trace(u64 k, const u64* msg_bits, const u64* revealed,
-                      const u64* other, u64* out_lo, u64* out_hi) {
+static void lamport128_trace_block(u64 k, const u64* msg_bits,
+                                   const u64* revealed, const u64* other,
+                                   u64* out_lo, u64* out_hi, u64 col_stride,
+                                   u64 row_base) {
   const int A0 = 0, B0 = 6, BIT = 12, MSG = 13, WIDTH = 14;
-  u64 length = (k + 1) * CYCLE;
+  u64 length = col_stride;
+  out_lo += row_base;
+  out_hi += row_base;
   u128 b_state[W] = {0, 0, 0, 0, 0, 0};
   u128 msg = 0;
   const u128 P = make_p();
@@ -207,6 +214,29 @@ void lamport128_trace(u64 k, const u64* msg_bits, const u64* revealed,
       (void)P;
     }
   }
+}
+
+void lamport128_trace(u64 k, const u64* msg_bits, const u64* revealed,
+                      const u64* other, u64* out_lo, u64* out_hi) {
+  lamport128_trace_block(k, msg_bits, revealed, other, out_lo, out_hi,
+                         (k + 1) * CYCLE, 0);
+}
+
+// All n_sigs blocks of the aggregated trace in one call (blocks are
+// independent — models/lamport128_agg.py build_lamport128_agg_trace):
+// out planes are 14 x (n_sigs * (k+1) * CYCLE), block s at row offset
+// s * (k+1) * CYCLE.
+void lamport128_trace_batch(u64 n_sigs, u64 k, const u64* msg_bits,
+                            const u64* revealed, const u64* other,
+                            u64* out_lo, u64* out_hi) {
+  u64 block = (k + 1) * CYCLE;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n_sigs > 4)
+#endif
+  for (u64 s = 0; s < n_sigs; s++)
+    lamport128_trace_block(k, msg_bits + s * k, revealed + s * 4 * k,
+                           other + s * 4 * k, out_lo, out_hi,
+                           n_sigs * block, s * block);
 }
 
 int r128_is_ready(void) { return g_ready; }
