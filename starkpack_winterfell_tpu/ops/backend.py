@@ -613,12 +613,17 @@ class LimbBackend(FieldBackend):
         )
 
     def power_series(self, base: int, n: int, xp=np):
-        vals = []
-        acc = 1
-        for _ in range(n):
-            vals.append(acc)
-            acc = acc * base % self.P
-        c = self.F.from_ints(vals)
+        if n <= 4096:
+            vals = []
+            acc = 1
+            for _ in range(n):
+                vals.append(acc)
+                acc = acc * base % self.P
+            c = self.F.from_ints(vals)
+            return self.cmap(xp.asarray, c)
+        # vectorized log-doubling — a python-int loop at 2^20 costs seconds
+        b = self.F.from_int(base % self.P, (1,))
+        c = self.F._pow_series(tuple(np.asarray(l) for l in b), n, np)
         return self.cmap(xp.asarray, c)
 
 

@@ -343,12 +343,92 @@ class LimbField:
             rev |= ((idx >> b) & 1) << (bits - 1 - b)
         return rev
 
+    # Tiles above this size switch to the four-step decomposition: the
+    # radix-2 path's runtime bit-reversal gather and per-stage twiddle
+    # constants grow with n and blew up XLA compiles at 2^20 scale
+    # (round-1 finding for f64; same medicine here: small-tile transforms +
+    # all large tables built ON DEVICE by log-doubling from <=4096-entry
+    # constants, so the traced graph stays O(log n) ops with tiny literals).
+    MAX_NTT_TILE = 4096
+
+    def _pow_series(self, bases, length: int, xp):
+        """bases: limb tuple shaped (..., 1) -> (..., length) power series
+        out[..., j] = base^j, via log-doubling (log2(length) muls)."""
+        cur = self.ones(bases[0].shape[:-1] + (1,), xp)
+        pw = bases
+        ln = 1
+        while ln < length:
+            nxt = self.mul(cur, pw)
+            cur = tuple(
+                xp.concatenate([x, y], axis=-1) for x, y in zip(cur, nxt)
+            )
+            ln *= 2
+            if ln < length:
+                pw = self.mul(pw, pw)
+        if cur[0].shape[-1] != length:
+            cur = tuple(l[..., :length] for l in cur)
+        return cur
+
+    def _split_tiles(self, n: int):
+        bits = n.bit_length() - 1
+        r = 1 << ((bits + 1) // 2)
+        while r > self.MAX_NTT_TILE:
+            r >>= 1
+        c = n // r
+        assert c <= self.MAX_NTT_TILE, f"n={n} too large for two-level tiles"
+        return r, c
+
+    def _ntt_four_step(self, a, inverse: bool, xp, pre_row=None, pre_col=None):
+        """Four-step NTT along the last axis (n = r*c, both tiles small):
+
+          M[t1, t2] = x[t1*c + t2]          (view (..., r, c))
+          A[j1, t2] = NTT_r over t1         (tile transform, axis -2)
+          A        *= w_n^{±j1*t2}          (T table, built on device)
+          O[j1, j2] = NTT_c over t2         (tile transform, axis -1)
+          X[j1 + r*j2] = O[j1, j2]          (swapaxes + reshape)
+
+        pre_row/pre_col: optional input scales s^{c*t1} / s^{t2} (limb
+        tuples broadcastable against (..., r, 1) / (..., 1, c)) — any
+        power-series input scaling s^t factors through the tile split, so
+        coset offsets never materialize length-n tables."""
+        n = a[0].shape[-1]
+        r, c = self._split_tiles(n)
+        bits = n.bit_length() - 1
+        root = self.get_root_of_unity(bits)
+        if inverse:
+            root = pow(root, self.P - 2, self.P)
+        # T[j1, t2] = root^{j1*t2}: log-doubled on device from the (r,)-entry
+        # per-row bases root^{j1} (a tiny host constant)
+        w_pows = self.from_ints([pow(root, j, self.P) for j in range(r)])
+        bases = tuple(xp.asarray(l)[:, None] for l in w_pows)
+        T = self._pow_series(bases, c, xp)  # (r, c)
+        M = tuple(l.reshape(l.shape[:-1] + (r, c)) for l in a)
+        if pre_row is not None:
+            M = self.mul(M, pre_row)
+        if pre_col is not None:
+            M = self.mul(M, pre_col)
+        Am = tuple(xp.moveaxis(l, -2, -1) for l in M)  # (..., c, r)
+        A = self.ntt(Am, inverse=inverse, scale=False)
+        A = tuple(xp.moveaxis(l, -1, -2) for l in A)  # (..., r, c)
+        A = self.mul(A, T)
+        O = self.ntt(A, inverse=inverse, scale=False)
+        X = tuple(
+            xp.swapaxes(l, -1, -2).reshape(l.shape[:-2] + (n,)) for l in O
+        )
+        return X
+
     def ntt(self, a, inverse: bool = False, scale: bool = True):
         """Transform along the last axis of a limb tuple (each limb shaped
         (..., n)); natural order in/out, matching ops/ntt.py semantics."""
         xp = _xp(a[0])
         n = a[0].shape[-1]
         if n == 1:
+            return a
+        if n > self.MAX_NTT_TILE:
+            a = self._ntt_four_step(a, inverse, xp)
+            if inverse and scale:
+                n_inv = self.from_int(pow(n, self.P - 2, self.P))
+                a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
             return a
         bits = n.bit_length() - 1
         rev = self._bit_rev(n)
@@ -375,9 +455,16 @@ class LimbField:
         return a
 
     def evaluate_poly_with_offset(self, a, domain_offset: int, blowup: int):
-        """Coset LDE: scale coeffs by offset^j, zero-pad, transform."""
+        """Coset LDE: scale coeffs by offset^j, zero-pad, transform.  Above
+        the tile limit this runs as blowup independent coset NTTs of length
+        n (math/src/fft/serial.rs:26-57's chunking) with the per-coset
+        offset series factored through the four-step tiles, then a
+        gather-free interleave — no length-L table or python-pow loop."""
         xp = _xp(a[0])
         n = a[0].shape[-1]
+        L = n * blowup
+        if L > self.MAX_NTT_TILE:
+            return self._lde_cosets(a, domain_offset, blowup, xp)
         offs = self.from_ints(
             [pow(domain_offset, j, self.P) for j in range(n)]
         )
@@ -389,6 +476,60 @@ class LimbField:
         )
         return self.ntt(padded)
 
+    def _lde_cosets(self, a, domain_offset: int, blowup: int, xp):
+        """evals on coset r (natural index i = q*blowup + r) = NTT_n of
+        coeffs scaled by s_r^t, s_r = offset * g_L^r."""
+        n = a[0].shape[-1]
+        L = n * blowup
+        nbatch = len(a[0].shape) - 1
+        g_L = self.get_root_of_unity(L.bit_length() - 1)
+        s_list = [
+            (domain_offset * pow(g_L, r, self.P)) % self.P
+            for r in range(blowup)
+        ]
+        if n > self.MAX_NTT_TILE:
+            r_t, c_t = self._split_tiles(n)
+            # s^t = (s^c)^{t1} * s^{t2} across the (r_t, c_t) tile view
+            row_b = self.from_ints([pow(s, c_t, self.P) for s in s_list])
+            col_b = self.from_ints(s_list)
+            pre_row = self._pow_series(
+                tuple(xp.asarray(l).reshape(blowup, 1) for l in row_b),
+                r_t, xp,
+            )
+            pre_row = tuple(
+                l.reshape((blowup,) + (1,) * nbatch + (r_t, 1))
+                for l in pre_row
+            )
+            pre_col = self._pow_series(
+                tuple(xp.asarray(l).reshape(blowup, 1) for l in col_b),
+                c_t, xp,
+            )
+            pre_col = tuple(
+                l.reshape((blowup,) + (1,) * nbatch + (1, c_t))
+                for l in pre_col
+            )
+            stacked = tuple(l[None] for l in a)  # (1, ..., n) broadcasts
+            ev = self._ntt_four_step(
+                tuple(xp.broadcast_to(l, (blowup,) + a[0].shape)
+                      for l in stacked),
+                False, xp, pre_row=pre_row, pre_col=pre_col,
+            )  # (blowup, ..., n)
+        else:
+            col_b = self.from_ints(s_list)
+            series = self._pow_series(
+                tuple(xp.asarray(l).reshape(blowup, 1) for l in col_b), n, xp
+            )  # (blowup, n)
+            series = tuple(
+                l.reshape((blowup,) + (1,) * nbatch + (n,)) for l in series
+            )
+            scaled = self.mul(tuple(l[None] for l in a), series)
+            ev = self.ntt(scaled)
+        # interleave: out[..., q*blowup + r] = ev[r, ..., q]
+        out = tuple(
+            xp.moveaxis(l, 0, -1).reshape(a[0].shape[:-1] + (L,)) for l in ev
+        )
+        return out
+
     def interpolate_poly(self, a):
         return self.ntt(a, inverse=True, scale=True)
 
@@ -397,8 +538,18 @@ class LimbField:
         n = a[0].shape[-1]
         coeffs = self.ntt(a, inverse=True, scale=True)
         inv_off = pow(domain_offset, self.P - 2, self.P)
-        offs = self.from_ints([pow(inv_off, j, self.P) for j in range(n)])
-        return self.mul(coeffs, tuple(xp.asarray(x) for x in offs))
+        if n > self.MAX_NTT_TILE:
+            base = tuple(xp.asarray(l).reshape(1) for l in
+                         self.from_int(inv_off, (1,)))
+            offs = self._pow_series(base, n, xp)
+        else:
+            offs = tuple(
+                xp.asarray(x)
+                for x in self.from_ints(
+                    [pow(inv_off, j, self.P) for j in range(n)]
+                )
+            )
+        return self.mul(coeffs, offs)
 
     def horner(self, coeffs, x):
         """Evaluate along the last axis at point-array x (shape = remaining

@@ -98,6 +98,32 @@ def test_prove_mesh_f128():
     assert verify(air_cls, mesh_proof, pub_inputs, Sha3_256)
 
 
+def test_prove_mesh_f128_four_step_ntt():
+    """Trace length past LimbField.MAX_NTT_TILE routes the limb NTTs through
+    the four-step tile decomposition inside the sharded kernels — mesh proof
+    must stay byte-identical to the host pipeline."""
+    from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+    from starkpack_winterfell_tpu.ops.limb_field import F128
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f128")
+    mesh = make_mesh(4)
+    options = ProofOptions(8, 8, 0, FieldExtension.NONE, 4, 3)
+    old = F128.MAX_NTT_TILE
+    F128.MAX_NTT_TILE = 64  # force the four-step path at test-size shapes
+    try:
+        n = 2
+        traces = [build_trace(256) for _ in range(n)]
+        prover = prover_cls(options, Sha3_256)
+        host_proof = prover.prove(n, traces)
+        mesh_proof = prove_mesh(prover, n, traces, mesh)
+    finally:
+        F128.MAX_NTT_TILE = old
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(air_cls, mesh_proof, pub_inputs, Sha3_256)
+
+
 def test_prove_mesh_f62():
     from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
 
