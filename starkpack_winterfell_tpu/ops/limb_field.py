@@ -30,7 +30,14 @@ def _xp(x):
 
 
 def _mul32(a, b):
-    """32x32 -> (lo, hi) u32 (same as gl64._mul32)."""
+    """32x32 -> (lo, hi) u32 (same as gl64._mul32).  On host numpy the
+    product is one native u64 multiply; the 16-bit split below is for the
+    TPU/XLA path, which has no 64-bit integer units."""
+    if isinstance(a, (np.ndarray, np.generic)) and isinstance(
+        b, (np.ndarray, np.generic)
+    ):
+        p = a.astype(np.uint64) * b.astype(np.uint64)
+        return (p & 0xFFFFFFFF).astype(_U32), (p >> np.uint64(32)).astype(_U32)
     a0 = a & MASK16
     a1 = a >> 16
     b0 = b & MASK16
@@ -98,6 +105,27 @@ def _sub_limbs(a, b, xp):
 def _mul_limbs(a, b, xp):
     """Schoolbook product of limb lists -> len(a)+len(b) limbs."""
     na, nb = len(a), len(b)
+    if xp is np:
+        # host: native u64 products, column sums (< 2^35, no overflow),
+        # one final carry propagation — ~3x fewer array dispatches
+        M32 = np.uint64(0xFFFFFFFF)
+        s32 = np.uint64(32)
+        a64 = [x.astype(np.uint64) for x in a]
+        b64 = [x.astype(np.uint64) for x in b]
+        shape = np.broadcast_shapes(a[0].shape, b[0].shape)
+        cols = [np.zeros(shape, dtype=np.uint64) for _ in range(na + nb + 1)]
+        for i in range(na):
+            for j in range(nb):
+                p = a64[i] * b64[j]
+                cols[i + j] += p & M32
+                cols[i + j + 1] += p >> s32
+        out = []
+        carry = np.zeros(shape, dtype=np.uint64)
+        for c in range(na + nb):
+            cur = cols[c] + carry
+            out.append((cur & M32).astype(_U32))
+            carry = cur >> s32
+        return out
     out = [xp.zeros_like(a[0]) for _ in range(na + nb)]
     for i in range(na):
         carry = xp.zeros_like(a[0])
