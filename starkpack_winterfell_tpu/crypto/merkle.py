@@ -11,6 +11,9 @@ from __future__ import annotations
 
 import numpy as np
 
+# jitted multi-level gather kernels, keyed by (depth, bucket, leaf shape)
+_GATHER_KERNELS = {}
+
 
 def build_levels(leaves, hasher):
     """leaves: (n, 8) u32 digest array (numpy or jax).  Returns list of
@@ -95,12 +98,52 @@ class MerkleTree:
                 nxt.append(sibling >> 1)
                 i += 1
             cur = nxt
+        per_level = []
         for level, idxs in enumerate(need):
             idxs = sorted(i for i in idxs if (level, i) not in self._fetch_cache)
-            if not idxs:
-                continue
-            gathered = np.asarray(self.levels[level][np.array(idxs)])
-            for i, row in zip(idxs, gathered):
+            per_level.append(idxs)
+        if isinstance(self.levels[0], np.ndarray):
+            for level, idxs in enumerate(per_level):
+                if not idxs:
+                    continue
+                gathered = self.levels[level][np.array(idxs)]
+                for i, row in zip(idxs, gathered):
+                    self._fetch_cache[(level, i)] = self.h.digest_to_bytes(row)
+            return
+        # device levels: a per-level eager gather + pull costs one tunnel
+        # round trip (and, with per-proof index counts, a fresh remote
+        # compile) PER LEVEL.  Instead: one jitted multi-level gather with
+        # indices padded to a power-of-two bucket (stable shapes => the
+        # kernel caches across proofs) returning a single stacked array —
+        # one dispatch + one transfer for the whole tree.
+        total = sum(len(i) for i in per_level)
+        if not total:
+            return
+        bucket = max(8, 1 << (max(len(i) for i in per_level) - 1).bit_length())
+        import jax
+        import jax.numpy as jnp
+
+        key = (len(self.levels), bucket, tuple(self.levels[0].shape))
+        fn = _GATHER_KERNELS.get(key)
+        if fn is None:
+
+            def gather(levels, idx_arrs):
+                return jnp.concatenate(
+                    [lvl[ix] for lvl, ix in zip(levels, idx_arrs)], axis=0
+                )
+
+            fn = jax.jit(gather)
+            _GATHER_KERNELS[key] = fn
+        idx_arrs = tuple(
+            jnp.asarray(
+                np.pad(np.asarray(idxs, dtype=np.int32), (0, bucket - len(idxs)))
+            )
+            for idxs in per_level
+        )
+        stacked = np.asarray(fn(tuple(self.levels), idx_arrs))
+        for level, idxs in enumerate(per_level):
+            rows = stacked[level * bucket : level * bucket + len(idxs)]
+            for i, row in zip(idxs, rows):
                 self._fetch_cache[(level, i)] = self.h.digest_to_bytes(row)
 
     # -- batched proofs (merkle/mod.rs:222-284) -----------------------------

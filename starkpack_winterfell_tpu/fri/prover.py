@@ -15,6 +15,7 @@ from ..crypto.merkle import MerkleTree, build_levels
 from ..math import scalar as fs
 from ..ops import gl64 as gl, ntt, vec
 from ..utils.convert import limbs_to_elems, rows_to_words, scalar_to_limbs
+from ..utils.transfer import pull_rows
 from .proof import FriProof, FriProofLayer
 
 
@@ -93,11 +94,13 @@ class FriProver:
             for layer in self.layers:
                 positions = fold_positions(positions, domain_size, N)
                 proof = layer.tree.prove_batch(positions)
-                # row i of the transposed matrix = the N values for position i
+                # row i of the transposed matrix = the N values for position
+                # i; one batched (device-aware) gather for all queried rows
+                gathered = pull_rows(layer.transposed, positions, 0)
                 rows = []
-                for pos in positions:
+                for i in range(len(positions)):
                     row_limbs = tuple(
-                        (c[0][pos], c[1][pos]) for c in layer.transposed
+                        (c[0][i], c[1][i]) for c in gathered
                     )
                     rows.append(limbs_to_elems(row_limbs, self.ext_deg))
                 layers.append(FriProofLayer.new(rows, proof, self.ext_deg))

@@ -50,6 +50,7 @@ from ..air.transition import EvaluationFrame
 from ..errors import ProverError
 from ..ops.backend import get_backend
 from ..ops.felt import Felt
+from ..utils.transfer import pull_rows
 
 logger = logging.getLogger("starkpack_winterfell_tpu.parallel")
 
@@ -153,10 +154,14 @@ def sharded_segment_commit(mesh, B, hasher, n, n_pad, w, length, blowup, offset,
 
 def assemble_levels(sub_levels, top_levels):
     """Per-device subtree levels (gathered along axis 0 by the sharding) and
-    the replicated top-of-tree -> full Merkle level list (bottom first)."""
-    levels = [np.asarray(l) for l in sub_levels]
+    the replicated top-of-tree -> full Merkle level list (bottom first).
+
+    Levels are NOT materialized on host: MerkleTree gathers lazily (one
+    batched device gather per prove_batch), so committing a 2^23-leaf tree
+    never ships ~0.5 GB of digests through the tunnel."""
+    levels = list(sub_levels)
     for t in top_levels[1:]:
-        levels.append(np.asarray(t))
+        levels.append(t)
     return levels
 
 
@@ -715,15 +720,12 @@ def prove_mesh(prover, n: int, traces, mesh):
     _mark("P3 sharded composition LDE + commit")
 
     # ---- tail: OOD + DEEP + FRI + queries (host, generic) ----
-    # materialize each device array to the host EXACTLY ONCE, then slice —
-    # np.asarray inside a per-instance loop re-pulls the full array every
-    # iteration, which on the tunneled TPU backend is n x limbs full-LDE
-    # transfers (hundreds of MB) instead of one
+    # materialize the COEFFICIENT tables to the host exactly once (they
+    # feed the host OOD/DEEP math); the LDE row tables stay device-resident
+    # and only the queried columns are gathered later (full LDEs at large
+    # trace lengths are GBs of tunnel traffic)
     polys_h = _tmap(lambda a: np.asarray(a)[:n], polys_dev)
     aux_polys_h = [_tmap(np.asarray, ap) for ap in aux_polys_dev]
-    main_rows_h = _tmap(np.asarray, main_rows_n)
-    aux_rows_h = [_tmap(np.asarray, ar)
-                  for ar in (_tmap(lambda a: a[:n], x) for x in aux_rows_list)]
     traces_polys = [
         {
             "main": tuple(tuple(l[i] for l in c) for c in polys_h),
@@ -734,21 +736,22 @@ def prove_mesh(prover, n: int, traces, mesh):
         }
         for i in range(n)
     ]
-    main_ldes = [
-        tuple(tuple(l[i] for l in c) for c in main_rows_h)
-        for i in range(n)
-    ]
-    traces_ldes = [
-        {
-            "main": main_ldes[i],
-            "aux": [
-                tuple(tuple(l[i] for l in c) for c in ar)
-                for ar in aux_rows_h
-            ],
-        }
-        for i in range(n)
-    ]
-    comp_lde = _tmap(np.asarray, comp_lde_rows)
+    aux_rows_dev = [_tmap(lambda a: a[:n], x) for x in aux_rows_list]
+
+    def query_rows(positions):
+        main_g = pull_rows(main_rows_n, positions, -1)  # comps (n, w, q)
+        main_ldes_q = [
+            tuple(tuple(l[i] for l in c) for c in main_g) for i in range(n)
+        ]
+        aux_list = []
+        for ar in aux_rows_dev:
+            g = pull_rows(ar, positions, -1)
+            aux_list.append(
+                [tuple(tuple(l[i] for l in c) for c in g) for i in range(n)]
+            )
+        comp_g = pull_rows(comp_lde_rows, positions, -1)
+        return main_ldes_q, aux_list, comp_g
+
     _mark("device->host materialization for the query/tail phase")
 
     # ---- P5-P6 sharded (f64): DEEP LDE coset-by-coset + sharded FRI ----
@@ -774,9 +777,9 @@ def prove_mesh(prover, n: int, traces, mesh):
 
     return finish_proof(
         channel, airs, domain, options, ext_deg, B, spec, hasher,
-        traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
-        comp_columns, comp_lde, constraint_tree,
-        deep_lde_and_fri=deep_fri,
+        traces_polys, None, None, main_tree, aux_trees,
+        comp_columns, None, constraint_tree,
+        deep_lde_and_fri=deep_fri, query_rows_fn=query_rows,
     )
 
 
@@ -923,13 +926,10 @@ class MeshFriProver:
         alpha = channel.draw_fri_alpha()
         alpha_l = scalar_to_limbs(alpha, self.ext_deg)
         folded, _, _ = fold_fn(transposed, alpha_l, inv_dev)
-        self._host.layers.append(
-            FriLayer(
-                tree,
-                tuple(tuple(np.asarray(l) for l in c) for c in transposed),
-                m, N,
-            )
-        )
+        # keep the transposed layer device-resident; FriLayer.build_proof
+        # gathers just the queried rows (a full f128 layer at 2^23 is
+        # ~130 MB of tunnel traffic otherwise)
+        self._host.layers.append(FriLayer(tree, transposed, m, N))
         return folded
 
     def build_proof(self, positions):

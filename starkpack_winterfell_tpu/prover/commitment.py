@@ -58,13 +58,18 @@ def commit_to_rows(lde, hasher, ext_deg: int, backend=None) -> MerkleTree:
 
 
 def build_segment_queries(segments_lde, segment_tree, positions, ext_deg: int,
-                          backend=None):
-    """prover/src/trace/commitment.rs:135-190 — joint rows + per-trace rows."""
+                          backend=None, gathered: bool = False):
+    """prover/src/trace/commitment.rs:135-190 — joint rows + per-trace rows.
+
+    gathered=True: segments_lde entries hold only the queried columns
+    (w, len(positions)), already aligned with ``positions`` (the mesh
+    pipeline gathers them on device instead of shipping full LDEs)."""
     B = _backend(backend)
+    idxs = range(len(positions)) if gathered else positions
     traces_states = []
     for lde in segments_lde:
         rows = []
-        for pos in positions:
+        for pos in idxs:
             row_limbs = tuple(B.cmap(lambda l: l[:, pos], c) for c in lde)
             rows.append(B.limbs_to_elems(row_limbs, ext_deg))
         traces_states.append(rows)
@@ -79,11 +84,11 @@ def build_segment_queries(segments_lde, segment_tree, positions, ext_deg: int,
 
 
 def build_constraint_queries(lde, tree, positions, ext_deg: int,
-                             backend=None) -> Queries:
+                             backend=None, gathered: bool = False) -> Queries:
     """prover/src/constraints/commitment.rs:54-70."""
     B = _backend(backend)
     rows = []
-    for pos in positions:
+    for pos in (range(len(positions)) if gathered else positions):
         row_limbs = tuple(B.cmap(lambda l: l[:, pos], c) for c in lde)
         rows.append(B.limbs_to_elems(row_limbs, ext_deg))
     proof = tree.prove_batch(positions)

@@ -18,6 +18,11 @@ import numpy as np
 from ..math import scalar as fs
 from ..ops import gl64 as gl, ntt, vec
 from ..utils.convert import limbs_to_elems, rows_to_words, scalar_to_limbs
+from ..utils.transfer import (
+    pull_comps as _pull_comps,
+    pull_planes as _pull_planes,
+    pull_rows as _pull_rows,
+)
 from .constraints import PeriodicValueTable, _inv_divisor_numerator, _exemptions_eval
 from ..air.transition import EvaluationFrame
 from ..ops.felt import Felt
@@ -504,12 +509,26 @@ class DeviceProver:
         zg_l = _to_dev(scalar_to_limbs(zg, ext_deg))
         k3 = ood_eval_kernel(n, w, length, ext_deg, num_cols)
         tz, tzg, hz = k3(polys, comp_columns, z_l, zg_l)
-        # pull limbs to host once; to_u64 on device arrays would dispatch
-        # eager remote ops per limb
-        _h = lambda c: (np.asarray(c[0]), np.asarray(c[1]))
-        tz_h = np.stack([gl.to_u64(_h(c)) for c in tz])  # (deg, n, w)
-        tzg_h = np.stack([gl.to_u64(_h(c)) for c in tzg])
-        hz_h = np.stack([gl.to_u64(_h(c)) for c in hz])
+        # pull ALL OOD limbs to host in one packed transfer; to_u64 on device
+        # arrays would dispatch eager remote ops per limb, and per-array
+        # pulls pay a tunnel round trip each
+        planes = _pull_planes(
+            [l for grp in (tz, tzg, hz) for c in grp for l in c]
+        )
+        k = len(tz)
+        tz_h = np.stack(
+            [gl.to_u64((planes[2 * i], planes[2 * i + 1])) for i in range(k)]
+        )  # (deg, n, w)
+        o = 2 * k
+        tzg_h = np.stack(
+            [gl.to_u64((planes[o + 2 * i], planes[o + 2 * i + 1]))
+             for i in range(len(tzg))]
+        )
+        o += 2 * len(tzg)
+        hz_h = np.stack(
+            [gl.to_u64((planes[o + 2 * i], planes[o + 2 * i + 1]))
+             for i in range(len(hz))]
+        )
         ood_traces_states = []
         for i in range(n):
             at_z = [_elem_from(tz_h[:, i, j], ext_deg) for j in range(w)]
@@ -567,7 +586,7 @@ def run_fri_phase(channel, deep_evals, options, domain, ext_deg, hasher):
     # materialize the (tiny) final-layer evaluations first: the remainder
     # interpolation would otherwise run EAGERLY on device arrays — dozens of
     # per-op remote dispatches through the tunnel
-    evals = tuple((np.asarray(c[0]), np.asarray(c[1])) for c in evals)
+    evals = _pull_comps(evals)
     coeffs = ntt.interpolate_poly_with_offset(evals, domain.domain_offset)
     rem_size = evals[0][0].shape[-1] // fri_options.blowup_factor
     coeffs_h = tuple(
@@ -596,10 +615,7 @@ def assemble_proof(channel, positions, lde, comp_lde, main_tree, constraint_tree
     for transposed_dev, tree in fri_layers:
         pos = fold_positions(pos, dsize, N)
         mp = tree.prove_batch(pos)
-        pidx = np.array(pos)
-        gathered = tuple(
-            (np.asarray(c[0][pidx]), np.asarray(c[1][pidx])) for c in transposed_dev
-        )
+        gathered = _pull_rows(transposed_dev, pos, 0)
         rows = []
         for i in range(len(pos)):
             row_limbs = tuple((c[0][i], c[1][i]) for c in gathered)
@@ -608,10 +624,7 @@ def assemble_proof(channel, positions, lde, comp_lde, main_tree, constraint_tree
         dsize //= N
     fri_proof = FriProof.new(proof_layers, remainder_elements, 1)
 
-    pidx = np.array(positions)
-    main_rows = tuple(
-        (np.asarray(c[0][:, :, pidx]), np.asarray(c[1][:, :, pidx])) for c in lde
-    )  # (n, w, q)
+    main_rows = _pull_rows(lde, positions, 2)  # (n, w, q)
     traces_states = []
     for i in range(n):
         rows = []
@@ -629,9 +642,7 @@ def assemble_proof(channel, positions, lde, comp_lde, main_tree, constraint_tree
         JointTraceQueries.new(main_tree.prove_batch(positions), comb_states, traces_states)
     ]
 
-    comp_rows = tuple(
-        (np.asarray(c[0][:, pidx]), np.asarray(c[1][:, pidx])) for c in comp_lde
-    )  # (num_cols, q)
+    comp_rows = _pull_rows(comp_lde, positions, 1)  # (num_cols, q)
     crows = []
     for qi in range(len(positions)):
         row_limbs = tuple((c[0][:, qi], c[1][:, qi]) for c in comp_rows)

@@ -190,7 +190,7 @@ class Prover:
 def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
                  traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
                  comp_columns, comp_lde, constraint_tree,
-                 deep_lde_and_fri=None):
+                 deep_lde_and_fri=None, query_rows_fn=None):
     """Phases 4-8 of generate_proof (OOD + DEEP + FRI + queries + assembly),
     shared by the host pipeline and the mesh pipeline's tail
     (prover/src/lib.rs:476-603).
@@ -198,7 +198,13 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
     deep_lde_and_fri: optional override for phases 5-6 — called with the
     DEEP coefficient columns, must run the LDE + FRI layer commits against
     `channel` and return the FriProver to build the proof from (the mesh
-    pipeline passes a sharded implementation)."""
+    pipeline passes a sharded implementation).
+
+    query_rows_fn: optional override for the Phase-8 row extraction —
+    called with the query positions, returns (main_ldes, aux_ldes_list,
+    comp_lde) holding ONLY the queried columns (gathered on device; full
+    LDEs at 2^23 are GBs of tunnel traffic).  When set, the traces_ldes /
+    main_ldes / comp_lde arguments may be None."""
     n = len(airs)
     trace_length = domain.trace_length
     _t = time.perf_counter()
@@ -266,17 +272,25 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
 
     # Phase 8: proof assembly (lib.rs:585-603)
     fri_proof = fri_prover.build_proof(query_positions)
+    gathered = query_rows_fn is not None
+    if gathered:
+        main_ldes, aux_ldes_list, comp_lde = query_rows_fn(query_positions)
     trace_queries = [
-        build_segment_queries(main_ldes, main_tree, query_positions, 1, B)
+        build_segment_queries(main_ldes, main_tree, query_positions, 1, B,
+                              gathered=gathered)
     ]
     for seg_idx, aux_tree in enumerate(aux_trees):
-        aux_ldes_i = [traces_ldes[i]["aux"][seg_idx] for i in range(n)]
+        if gathered:
+            aux_ldes_i = aux_ldes_list[seg_idx]
+        else:
+            aux_ldes_i = [traces_ldes[i]["aux"][seg_idx] for i in range(n)]
         trace_queries.append(
             build_segment_queries(aux_ldes_i, aux_tree, query_positions,
-                                  ext_deg, B)
+                                  ext_deg, B, gathered=gathered)
         )
     constraint_queries = build_constraint_queries(
-        comp_lde, constraint_tree, query_positions, ext_deg, B
+        comp_lde, constraint_tree, query_positions, ext_deg, B,
+        gathered=gathered,
     )
     logger.debug(
         "determined %d query positions and built proof object in %.0f ms",
