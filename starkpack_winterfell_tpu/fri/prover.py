@@ -205,19 +205,11 @@ class LimbFriProver:
     def _apply_drp(self, transposed, alpha):
         """Degree-respecting projection (fri/src/folding/mod.rs:85-117) via
         batched per-row iNTT + Horner at inv_offset_i * alpha."""
-        B, spec = self.B, self.spec
+        B = self.B
         m, N = transposed[0][0].shape
-        coeffs = B.interpolate_poly(transposed)
-        src_size = m * N
-        g = spec.get_root_of_unity(src_size.bit_length() - 1)
-        inv_g = pow(g, spec.P - 2, spec.P)
-        inv_c = pow(spec.GENERATOR, spec.P - 2, spec.P)
-        inv_offs = B.b_from_ints(
-            [inv_c * pow(inv_g, i, spec.P) % spec.P for i in range(m)]
-        )
+        inv_offs = limb_drp_inv_offsets(B, m, N, self.spec.GENERATOR)
         alpha_l = B.scalar_to_limbs(alpha, self.ext_deg)
-        x = B.vmul(B.vbroadcast(alpha_l, (m,)), (inv_offs,))
-        return B.horner(coeffs, x, axis=-1)
+        return limb_apply_drp(B, transposed, alpha_l, inv_offs, self.ext_deg)
 
     def _set_remainder(self, channel, evaluations):
         B, spec = self.B, self.spec
@@ -244,9 +236,10 @@ class LimbFriProver:
             for transposed, tree, m, _ in self.layers:
                 pos = fold_positions(pos, domain_size, N)
                 mp = tree.prove_batch(pos)
+                gathered = pull_rows(transposed, pos, 0)
                 rows = []
-                for p in pos:
-                    row = tuple(B.cmap(lambda l: l[p], c) for c in transposed)
+                for i in range(len(pos)):
+                    row = tuple(B.cmap(lambda l: l[i], c) for c in gathered)
                     rows.append(B.limbs_to_elems(row, self.ext_deg))
                 proof_layers.append(
                     FriProofLayer.new(rows, mp, self.ext_deg, spec)
@@ -256,6 +249,29 @@ class LimbFriProver:
         self.layers = []
         self.remainder_poly = None
         return FriProof.new(proof_layers, remainder, 1, spec)
+
+
+def limb_drp_inv_offsets(B, m: int, N: int, domain_offset: int):
+    """inv_offsets[i] = inv(offset) * inv(g_src)^i for a limb-field DRP at
+    source size m*N — one limb tuple shaped (m,), host numpy (built by
+    log-doubling, not a python-pow loop)."""
+    spec = B.spec
+    src_size = m * N
+    g = spec.get_root_of_unity(src_size.bit_length() - 1)
+    inv_g = pow(g, spec.P - 2, spec.P)
+    inv_c = pow(domain_offset, spec.P - 2, spec.P)
+    series = B.power_series(inv_g, m)
+    inv_c_l = B.b_from_ints([inv_c])
+    return B.bmul(series, inv_c_l)
+
+
+def limb_apply_drp(B, transposed, alpha_l, inv_offs, ext_deg: int):
+    """Jit-capable limb-field DRP: transposed components shaped (m, N),
+    alpha_l an ext element in limb form, inv_offs a limb tuple (m,)."""
+    coeffs = B.interpolate_poly(transposed)
+    m = transposed[0][0].shape[0]
+    x = B.vmul(B.vbroadcast(alpha_l, (m,)), (inv_offs,))
+    return B.horner(coeffs, x, axis=-1)
 
 
 def fold_positions(positions, source_domain_size: int, folding_factor: int):

@@ -261,7 +261,15 @@ def sharded_lde_blocks(mesh, B, C, length, blowup, offset, hasher=None,
         check_rep=False,
     )
     jitted = jax.jit(fn)
-    return lambda comps: jitted(comps, offs_tab)
+    # device-resident once — re-uploading the (blowup, length) offsets table
+    # per prove call is 100+ MB of host->device traffic at 2^20 limb configs
+    from jax.sharding import NamedSharding
+
+    offs_dev = tuple(
+        jax.device_put(o, NamedSharding(mesh, P("dp", None)))
+        for o in offs_tab
+    )
+    return lambda comps: jitted(comps, offs_dev)
 
 
 # ---------------------------------------------------------------------------
@@ -754,26 +762,33 @@ def prove_mesh(prover, n: int, traces, mesh):
 
     _mark("device->host materialization for the query/tail phase")
 
-    # ---- P5-P6 sharded (f64): DEEP LDE coset-by-coset + sharded FRI ----
-    deep_fri = None
-    if spec.name == "f64":
-        def deep_fri(deep_coefficients):
-            k4 = _cached(
-                ("lde", mesh, B.spec.name, 1, trace_length,
-                 L // trace_length, offset, None, 1),
-                lambda: sharded_lde_blocks(mesh, B, 1, trace_length,
-                                           L // trace_length, offset),
-            )
-            cols = tuple(
-                tuple(l.reshape(1, trace_length) for l in c)
-                for c in deep_coefficients
-            )
-            deep_rows = k4(cols)  # comps (1, L) sharded on the last axis
-            deep_evals = _tmap(lambda a: a.reshape(L), deep_rows)
-            fri = MeshFriProver(options.to_fri_options(), hasher, ext_deg,
-                                mesh)
-            fri.build_layers(channel, deep_evals)
-            return fri
+    # ---- P5-P6 sharded: DEEP LDE coset-by-coset + sharded FRI ----
+    # (all fields; the f64 path uses the Goldilocks kernels, limb fields
+    # route through FieldBackend ops — without this the f62/f128 DEEP
+    # evaluation + every FRI layer ran on host numpy)
+    def deep_fri(deep_coefficients):
+        k4 = _cached(
+            ("lde", mesh, B.spec.name, 1, trace_length,
+             L // trace_length, offset, None, 1),
+            lambda: sharded_lde_blocks(mesh, B, 1, trace_length,
+                                       L // trace_length, offset),
+        )
+        cols = tuple(
+            tuple(np.asarray(l).reshape(1, trace_length) for l in c)
+            for c in deep_coefficients
+        )
+        deep_rows = k4(cols)  # comps (1, L) sharded on the last axis
+        deep_evals = _tmap(lambda a: a.reshape(L), deep_rows)
+        # thread the field spec so FriOptions.domain_offset() returns the
+        # field's generator (3 for f62/f128), not the f64 default
+        fri = MeshFriProver(
+            options.to_fri_options(
+                field=None if spec.name == "f64" else spec
+            ),
+            hasher, ext_deg, mesh, B=B,
+        )
+        fri.build_layers(channel, deep_evals)
+        return fri
 
     return finish_proof(
         channel, airs, domain, options, ext_deg, B, spec, hasher,
@@ -788,44 +803,56 @@ def prove_mesh(prover, n: int, traces, mesh):
 # ---------------------------------------------------------------------------
 
 
-def _fri_layer_kernels(mesh, N, m, ext_deg, hasher, domain_offset):
+def _fri_layer_kernels(mesh, N, m, ext_deg, hasher, domain_offset, B=None):
     """Per-layer kernel pair for a folding step at source size m*N:
       transpose: (L,)-sharded evals -> (m, N) transposed rows, row-blocked
         (GSPMD jit: XLA lowers the global reshape+swapaxes to collectives —
         the blocked->strided reshard of fri/src/folding/mod.rs:85-117)
       fold: row hashing + Merkle subtree + DRP fold, all row-local.
-    Cached per (d, N, m, ext_deg, hasher)."""
+    Cached per (d, N, m, ext_deg, hasher).  B=None is the f64 fast path;
+    a limb backend routes the DRP/word math through FieldBackend ops."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..fri.prover import apply_drp_limbs, drp_inv_offsets
+    from ..fri.prover import (
+        apply_drp_limbs,
+        drp_inv_offsets,
+        limb_apply_drp,
+        limb_drp_inv_offsets,
+    )
 
     d = mesh.devices.size
     m_loc = m // d
     sub_depth = m_loc.bit_length() - 1
     L = m * N
+    f64 = B is None or B.spec.name == "f64"
+    nl = 2 if f64 else B.F.n
+    elem_bytes = 8 if f64 else B.spec.ELEMENT_BYTES
 
     rows_sh = NamedSharding(mesh, P("dp"))
 
     def transpose(comps):
         return _tmap(lambda a: jnp.swapaxes(a.reshape(N, m), 0, 1), comps)
 
+    skel = _dummy_comps(ext_deg, nl)
     transpose_fn = jax.jit(
         transpose,
-        in_shardings=(_tmap(lambda _: rows_sh, _dummy_comps(ext_deg)),),
+        in_shardings=(_tmap(lambda _: rows_sh, skel),),
         out_shardings=_tmap(
-            lambda _: NamedSharding(mesh, P("dp", None)),
-            _dummy_comps(ext_deg),
+            lambda _: NamedSharding(mesh, P("dp", None)), skel
         ),
     )
 
     def local(transposed, alpha_l, inv_offs_loc):
         rt = transposed  # comps (m_loc, N)
-        from ..utils.convert import rows_to_words
+        if f64:
+            from ..utils.convert import rows_to_words
 
-        words = rows_to_words(rt, ext_deg)
-        leaves = hasher.hash_words(words, N * ext_deg * 8)
+            words = rows_to_words(rt, ext_deg)
+        else:
+            words = B.rows_to_words(rt, ext_deg)
+        leaves = hasher.hash_words(words, N * ext_deg * elem_bytes)
         sub_levels = [leaves]
         cur = leaves
         for _ in range(sub_depth):
@@ -837,8 +864,11 @@ def _fri_layer_kernels(mesh, N, m, ext_deg, hasher, domain_offset):
         while top.shape[0] > 1:
             top = hasher.merge_words(top[0::2], top[1::2])
             top_levels.append(top)
-        folded = apply_drp_limbs(rt, domain_offset, alpha_l, ext_deg,
-                                 inv_offs=inv_offs_loc)
+        if f64:
+            folded = apply_drp_limbs(rt, domain_offset, alpha_l, ext_deg,
+                                     inv_offs=inv_offs_loc)
+        else:
+            folded = limb_apply_drp(B, rt, alpha_l, inv_offs_loc, ext_deg)
         return folded, sub_levels, top_levels
 
     fold_fn = jax.jit(_shard_map()(
@@ -848,26 +878,36 @@ def _fri_layer_kernels(mesh, N, m, ext_deg, hasher, domain_offset):
         out_specs=(P("dp"), [P("dp")] * (sub_depth + 1), P()),
         check_rep=False,
     ))
-    inv_offs = drp_inv_offsets(m, N, domain_offset)
+    if f64:
+        inv_offs = drp_inv_offsets(m, N, domain_offset)
+    else:
+        inv_offs = limb_drp_inv_offsets(B, m, N, domain_offset)
     return transpose_fn, fold_fn, inv_offs
 
 
-def _dummy_comps(ext_deg):
-    """Pytree skeleton matching ext_deg components of (lo, hi) limb pairs."""
-    return tuple((0, 0) for _ in range(ext_deg))
+def _dummy_comps(ext_deg, nl: int = 2):
+    """Pytree skeleton matching ext_deg components of nl-limb tuples."""
+    return tuple(tuple(0 for _ in range(nl)) for _ in range(ext_deg))
 
 
 class MeshFriProver:
-    """f64 FRI prover with every layer's transpose/hash/fold sharded over
+    """FRI prover with every layer's transpose/hash/fold sharded over
     the mesh (fri/src/prover/mod.rs:172-226 + folding/mod.rs:85-117 as one
     distributed transpose + row-local work per layer).  Byte-identical to
-    FriProver; layers whose folded size no longer divides the mesh fall
-    back to the host prover's per-layer path on materialized arrays."""
+    FriProver / LimbFriProver; layers whose folded size no longer divides
+    the mesh fall back to the host prover's per-layer path on materialized
+    arrays.  B selects the field: None / f64 = Goldilocks fast path, a
+    limb backend (f62/f128) routes all math through FieldBackend ops."""
 
-    def __init__(self, options, hasher, ext_deg: int, mesh):
-        from ..fri.prover import FriProver
+    def __init__(self, options, hasher, ext_deg: int, mesh, B=None):
+        from ..fri.prover import FriProver, LimbFriProver
 
-        self._host = FriProver(options, hasher, ext_deg)
+        self.B = None if (B is None or B.spec.name == "f64") else B
+        if self.B is None:
+            self._host = FriProver(options, hasher, ext_deg)
+        else:
+            self._host = LimbFriProver(options, hasher, self.B.F,
+                                       self.B.spec, ext_deg)
         self.options = options
         self.hasher = hasher
         self.ext_deg = ext_deg
@@ -904,10 +944,11 @@ class MeshFriProver:
 
         transpose_fn, fold_fn, inv_offs = _cached(
             ("fri", self.mesh, N, m, self.ext_deg, self.hasher,
+             None if self.B is None else self.B.spec.name,
              self.options.domain_offset()),
             lambda: _fri_layer_kernels(
                 self.mesh, N, m, self.ext_deg, self.hasher,
-                self.options.domain_offset(),
+                self.options.domain_offset(), self.B,
             ),
         )
         transposed = transpose_fn(evaluations)
@@ -915,8 +956,12 @@ class MeshFriProver:
         # pass: run the kernel twice — pass 1's fold output (dummy alpha) is
         # discarded; pass 2 hits the jit cache and redoes O(L/d) local work,
         # negligible next to the commit hashing
+        if self.B is None:
+            to_limbs = lambda v: scalar_to_limbs(v, self.ext_deg)
+        else:
+            to_limbs = lambda v: self.B.scalar_to_limbs(v, self.ext_deg)
         zero = fs.zero(self.ext_deg) if self.ext_deg > 1 else 0
-        zero_l = scalar_to_limbs(zero, self.ext_deg)
+        zero_l = to_limbs(zero)
         inv_sh = NamedSharding(self.mesh, P("dp"))
         inv_dev = tuple(jax.device_put(np.asarray(x), inv_sh)
                         for x in inv_offs)
@@ -924,12 +969,15 @@ class MeshFriProver:
         tree = MerkleTree(assemble_levels(sub_l, top_l), self.hasher)
         channel.commit_fri_layer(tree.root())
         alpha = channel.draw_fri_alpha()
-        alpha_l = scalar_to_limbs(alpha, self.ext_deg)
+        alpha_l = to_limbs(alpha)
         folded, _, _ = fold_fn(transposed, alpha_l, inv_dev)
-        # keep the transposed layer device-resident; FriLayer.build_proof
+        # keep the transposed layer device-resident; the proof builder
         # gathers just the queried rows (a full f128 layer at 2^23 is
         # ~130 MB of tunnel traffic otherwise)
-        self._host.layers.append(FriLayer(tree, transposed, m, N))
+        if self.B is None:
+            self._host.layers.append(FriLayer(tree, transposed, m, N))
+        else:
+            self._host.layers.append((transposed, tree, m, N))
         return folded
 
     def build_proof(self, positions):
