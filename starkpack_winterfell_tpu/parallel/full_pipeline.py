@@ -699,21 +699,49 @@ def prove_mesh(prover, n: int, traces, mesh):
         main_rows_n, aux_rows_n, t_main, t_aux, singles, seqs, ccs,
         aux_rand_stacks, fp_stack, plan["div_tables"], plan["periodic_tabs"],
     )
-    final_comb = tuple(
-        tuple(np.asarray(l) for l in c) for c in final_comb_dev
-    )
     _mark("P2/P5 sharded constraint evaluation")
 
     # ---- P3: composition poly + sharded LDE/commitment ----
     ce = domain.ce_size
     trace_length = domain.trace_length
     num_cols = airs[0].context.num_constraint_composition_columns()
-    coeffs = B.interpolate_poly_with_offset(final_comb, offset)
-    comp_columns = tuple(
-        B.cmap(lambda l: l.reshape(ce // trace_length, trace_length)[:num_cols],
-               c)
-        for c in B.promote(coeffs, ext_deg)
-    )
+    # the device OOD/DEEP tail pays off when the coefficient tables are big
+    # (tunnel transfers + host limb math); tiny configs keep the host tail,
+    # whose kernels compile instantly (XLA:CPU compiles of the deep-kernel
+    # graphs dominate test wall-clock otherwise)
+    limb_tail = spec.name != "f64" and domain.trace_length >= 4096
+    if limb_tail:
+        # interpolate the combined evaluations ON DEVICE (the limb
+        # four-step NTT builds its tables in-graph from tiny constants);
+        # the coefficient table never leaves the device
+        import jax as _jax
+
+        def _comp_cols_kernel(fc):
+            coeffs = B.interpolate_poly_with_offset(fc, offset)
+            return tuple(
+                B.cmap(
+                    lambda l: l.reshape(ce // trace_length,
+                                        trace_length)[:num_cols], c)
+                for c in B.promote(coeffs, ext_deg)
+            )
+
+        k2b = _cached(
+            ("compcols", mesh, spec.name, ce, trace_length, num_cols,
+             ext_deg, offset),
+            lambda: _jax.jit(_comp_cols_kernel),
+        )
+        comp_columns = k2b(final_comb_dev)
+    else:
+        final_comb = tuple(
+            tuple(np.asarray(l) for l in c) for c in final_comb_dev
+        )
+        coeffs = B.interpolate_poly_with_offset(final_comb, offset)
+        comp_columns = tuple(
+            B.cmap(
+                lambda l: l.reshape(ce // trace_length,
+                                    trace_length)[:num_cols], c)
+            for c in B.promote(coeffs, ext_deg)
+        )
     comp_blowup = L // trace_length
     k3 = _cached(
         ("lde", mesh, B.spec.name, num_cols, trace_length, comp_blowup,
@@ -727,23 +755,36 @@ def prove_mesh(prover, n: int, traces, mesh):
     channel.commit_constraints(constraint_tree.root())
     _mark("P3 sharded composition LDE + commit")
 
-    # ---- tail: OOD + DEEP + FRI + queries (host, generic) ----
-    # materialize the COEFFICIENT tables to the host exactly once (they
-    # feed the host OOD/DEEP math); the LDE row tables stay device-resident
-    # and only the queried columns are gathered later (full LDEs at large
-    # trace lengths are GBs of tunnel traffic)
-    polys_h = _tmap(lambda a: np.asarray(a)[:n], polys_dev)
-    aux_polys_h = [_tmap(np.asarray, ap) for ap in aux_polys_dev]
-    traces_polys = [
-        {
-            "main": tuple(tuple(l[i] for l in c) for c in polys_h),
-            "aux": [
-                tuple(tuple(l[i] for l in c) for c in ap)
-                for ap in aux_polys_h
-            ],
-        }
-        for i in range(n)
-    ]
+    # ---- tail: OOD + DEEP + FRI + queries ----
+    ood_fn = deep_fn = None
+    traces_polys = None
+    if limb_tail:
+        # limb fields evaluate OOD states and build the DEEP composition
+        # polynomial ON DEVICE (the coefficient tables — hundreds of MB at
+        # 2^20 — never cross the tunnel; only the tiny OOD values do).
+        # Kernels run over all n_pad instances — slicing the dp-sharded
+        # instance axis eagerly deadlocks the SPMD runtime (round-1
+        # finding); padded instances have zero polys and zero cc weights,
+        # so they contribute exactly nothing
+        ood_fn, deep_fn = _limb_tail_kernels(
+            mesh, B, spec, ext_deg, n, polys_dev, aux_polys_dev,
+            comp_columns, domain, airs,
+        )
+    else:
+        # f64: materialize the coefficient tables to the host exactly once
+        # (they feed the host OOD/DEEP math)
+        polys_h = _tmap(lambda a: np.asarray(a)[:n], polys_dev)
+        aux_polys_h = [_tmap(np.asarray, ap) for ap in aux_polys_dev]
+        traces_polys = [
+            {
+                "main": tuple(tuple(l[i] for l in c) for c in polys_h),
+                "aux": [
+                    tuple(tuple(l[i] for l in c) for c in ap)
+                    for ap in aux_polys_h
+                ],
+            }
+            for i in range(n)
+        ]
     aux_rows_dev = [_tmap(lambda a: a[:n], x) for x in aux_rows_list]
 
     def query_rows(positions):
@@ -795,6 +836,7 @@ def prove_mesh(prover, n: int, traces, mesh):
         traces_polys, None, None, main_tree, aux_trees,
         comp_columns, None, constraint_tree,
         deep_lde_and_fri=deep_fri, query_rows_fn=query_rows,
+        ood_fn=ood_fn, deep_fn=deep_fn,
     )
 
 
@@ -982,6 +1024,167 @@ class MeshFriProver:
 
     def build_proof(self, positions):
         return self._host.build_proof(positions)
+
+
+def _limb_tail_kernels(mesh, B, spec, ext_deg, n, polys_n, aux_polys_n,
+                       comp_columns, domain, airs):
+    """Device OOD evaluation + DEEP composition for limb fields (f62/f128):
+    byte-identical mirror of prover/pipeline.finish_proof's host math
+    (evaluate_trace_polys_at + DeepCompositionPoly) as two jitted kernels,
+    so the (n, w, length) coefficient tables never leave the device — only
+    the tiny OOD values cross the tunnel.  Returns (ood_fn, deep_fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.transfer import pull_planes
+
+    length = domain.trace_length
+    d = ext_deg
+    num_cols = airs[0].context.num_constraint_composition_columns()
+    n_pad = polys_n[0][0].shape[0]
+    w_main = polys_n[0][0].shape[1]
+    w_auxs = tuple(ap[0][0].shape[1] for ap in aux_polys_n)
+    W = w_main + sum(w_auxs)
+
+    def ood_kernel(polys, auxs, comp_cols, z_l, zg_l):
+        powz = B.power_series_elem(z_l, length)
+        powzg = B.power_series_elem(zg_l, length)
+        pm = B.promote(polys, d)
+        tz_m = B.vsum(B.vmul(powz, pm), axis=-1)      # (n, w_main)
+        tzg_m = B.vsum(B.vmul(powzg, pm), axis=-1)
+        tz_a = tuple(
+            B.vsum(B.vmul(powz, B.promote(a, d)), axis=-1) for a in auxs
+        )
+        tzg_a = tuple(
+            B.vsum(B.vmul(powzg, B.promote(a, d)), axis=-1) for a in auxs
+        )
+        hz = B.vsum(B.vmul(powz, B.promote(comp_cols, d)), axis=-1)
+        return tz_m, tzg_m, tz_a, tzg_a, hz
+
+    def _sub0_batch(t, vals):
+        # composer._sub_const_batch, traced: subtract (n,)-shaped scalars
+        # from coefficient 0 of (n, length) coefficient tables
+        out = []
+        for c, v in zip(t, vals):
+            first = B.bsub(
+                tuple(l[:, :1] for l in c), tuple(l[:, None] for l in v)
+            )
+            out.append(tuple(
+                jnp.concatenate([f, l[:, 1:]], axis=1)
+                for f, l in zip(first, c)
+            ))
+        return tuple(out)
+
+    def deep_kernel(polys, auxs, comp_cols, z_l, zg_l, ccs, cc_cons,
+                    c1, c2, hz_c):
+        groups = [B.promote(polys, d)] + [B.promote(a, d) for a in auxs]
+        stacked = tuple(
+            tuple(
+                jnp.concatenate([g[c][l] for g in groups], axis=1)
+                for l in range(len(groups[0][c]))
+            )
+            for c in range(d)
+        )
+        contrib = B.vmul(ccs, stacked)   # (n, W, length)
+        t = B.vsum(contrib, axis=1)      # (n, length)
+        q1 = B.syn_div_binomial(_sub0_batch(t, c1), z_l)
+        q2 = B.syn_div_binomial(_sub0_batch(t, c2), zg_l)
+        total = B.vsum(B.vadd(q1, q2), axis=0)  # (length,)
+        # composition columns, batched (composer loops col-by-col; modular
+        # sums are order-independent so one batched pass is byte-identical)
+        cc_p = B.promote(comp_cols, d)
+        cols = _sub0_batch(cc_p, hz_c)           # (num_cols, length)
+        qc = B.syn_div_binomial(cols, z_l)
+        kw = tuple(tuple(l[:, None] for l in c) for c in cc_cons)
+        total = B.vadd(total, B.vsum(B.vmul(qc, kw), axis=0))
+        return total
+
+    k_ood = _cached(
+        ("limbood", mesh, spec.name, n, length, w_main, w_auxs, num_cols, d),
+        lambda: jax.jit(ood_kernel),
+    )
+    k_deep = _cached(
+        ("limbdeep", mesh, spec.name, n, length, w_main, w_auxs, num_cols,
+         d),
+        lambda: jax.jit(deep_kernel),
+    )
+    auxs_t = tuple(aux_polys_n)
+
+    def ood_fn(z, zg):
+        z_l = B.scalar_to_limbs(z, d)
+        zg_l = B.scalar_to_limbs(zg, d)
+        tz_m, tzg_m, tz_a, tzg_a, hz = k_ood(
+            polys_n, auxs_t, comp_columns, z_l, zg_l
+        )
+        # pull everything in one packed transfer
+        all_comps = [tz_m, tzg_m, *tz_a, *tzg_a, hz]
+        planes = pull_planes([l for g in all_comps for c in g for l in c])
+        it = iter(planes)
+        pulled = [
+            tuple(tuple(next(it) for _ in range(len(c))) for c in g)
+            for g in all_comps
+        ]
+        p_tz, p_tzg = pulled[0], pulled[1]
+        p_tza = pulled[2 : 2 + len(tz_a)]
+        p_tzga = pulled[2 + len(tz_a) : 2 + 2 * len(tz_a)]
+        p_hz = pulled[-1]
+
+        def rows(comps):  # (n_pad, w) comps -> per-REAL-instance elements
+            flatc = tuple(tuple(l.reshape(-1) for l in c) for c in comps)
+            elems = B.limbs_to_elems(flatc, d)
+            w = comps[0][0].shape[1]
+            return [elems[i * w : (i + 1) * w] for i in range(n)]
+
+        main_z, main_zg = rows(p_tz), rows(p_tzg)
+        aux_z = [rows(a) for a in p_tza]
+        aux_zg = [rows(a) for a in p_tzga]
+        states = []
+        for i in range(n):
+            at_z = list(main_z[i])
+            at_zg = list(main_zg[i])
+            for az, azg in zip(aux_z, aux_zg):
+                at_z.extend(az[i])
+                at_zg.extend(azg[i])
+            states.append([at_z, at_zg])
+        ood_evaluations = B.limbs_to_elems(
+            tuple(tuple(l.reshape(-1) for l in c) for c in p_hz), d
+        )
+        return states, ood_evaluations
+
+    def deep_fn(z, cc, ood_states, ood_evaluations):
+        z_l = B.scalar_to_limbs(z, d)
+        g_trace = B.get_root_of_unity(length.bit_length() - 1)
+        zg_l = B.scalar_to_limbs(spec.fmul(z, g_trace), d)
+        zero_e = 0 if d == 1 else spec.zero(d)
+        cc_flat = [
+            cc.traces[i][j] if i < n else zero_e
+            for i in range(n_pad) for j in range(W)
+        ]
+        ccs = tuple(
+            tuple(np.asarray(l).reshape(n_pad, W, 1) for l in c)
+            for c in B.elems_to_limbs(cc_flat, d)
+        )
+        cc_cons = B.elems_to_limbs(list(cc.constraints), d)
+
+        def consts(row):  # composer.ood_consts, host scalar math
+            vals = []
+            for i in range(n_pad):
+                acc = zero_e
+                if i < n:
+                    for j in range(W):
+                        acc = spec.fadd(
+                            acc,
+                            spec.fmul(ood_states[i][row][j],
+                                      cc.traces[i][j]),
+                        )
+                vals.append(acc)
+            return B.elems_to_limbs(vals, d)
+
+        hz_c = B.elems_to_limbs(list(ood_evaluations), d)
+        return k_deep(polys_n, auxs_t, comp_columns, z_l, zg_l, ccs,
+                      cc_cons, consts(0), consts(1), hz_c)
+
+    return ood_fn, deep_fn
 
 
 def _stack_segments(segments, n_pad):

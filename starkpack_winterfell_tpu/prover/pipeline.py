@@ -190,7 +190,8 @@ class Prover:
 def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
                  traces_polys, traces_ldes, main_ldes, main_tree, aux_trees,
                  comp_columns, comp_lde, constraint_tree,
-                 deep_lde_and_fri=None, query_rows_fn=None):
+                 deep_lde_and_fri=None, query_rows_fn=None, ood_fn=None,
+                 deep_fn=None):
     """Phases 4-8 of generate_proof (OOD + DEEP + FRI + queries + assembly),
     shared by the host pipeline and the mesh pipeline's tail
     (prover/src/lib.rs:476-603).
@@ -204,7 +205,17 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
     called with the query positions, returns (main_ldes, aux_ldes_list,
     comp_lde) holding ONLY the queried columns (gathered on device; full
     LDEs at 2^23 are GBs of tunnel traffic).  When set, the traces_ldes /
-    main_ldes / comp_lde arguments may be None."""
+    main_ldes / comp_lde arguments may be None.
+
+    ood_fn(z, zg) -> (ood_traces_states, ood_evaluations): optional device
+    override for the Phase-4 out-of-domain evaluations (host element
+    lists; the mesh pipeline computes the power-series dots on device so
+    the coefficient tables never leave it).
+
+    deep_fn(z, cc, ood_traces_states, ood_evaluations) -> coefficient
+    comps: optional device override for the DEEP composition polynomial
+    (requires deep_lde_and_fri; the degree sanity assert is covered by the
+    host differential tests)."""
     n = len(airs)
     trace_length = domain.trace_length
     _t = time.perf_counter()
@@ -213,29 +224,38 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
     z = channel.get_ood_point()
     g_trace = B.get_root_of_unity(trace_length.bit_length() - 1)
     zg = spec.fmul(z, g_trace)
-    n_coeffs = traces_polys[0]["main"][0][0].shape[-1]
-    powz = B.power_series_elem(B.scalar_to_limbs(z, ext_deg), n_coeffs)
-    powzg = B.power_series_elem(B.scalar_to_limbs(zg, ext_deg), n_coeffs)
-    ood_traces_states = []
-    for tp in traces_polys:
-        at_z = evaluate_trace_polys_at(tp, z, ext_deg, B, powz)
-        at_zg = evaluate_trace_polys_at(tp, zg, ext_deg, B, powzg)
-        ood_traces_states.append([at_z, at_zg])
+    if ood_fn is not None:
+        ood_traces_states, ood_evaluations = ood_fn(z, zg)
+    else:
+        n_coeffs = traces_polys[0]["main"][0][0].shape[-1]
+        powz = B.power_series_elem(B.scalar_to_limbs(z, ext_deg), n_coeffs)
+        powzg = B.power_series_elem(B.scalar_to_limbs(zg, ext_deg), n_coeffs)
+        ood_traces_states = []
+        for tp in traces_polys:
+            at_z = evaluate_trace_polys_at(tp, z, ext_deg, B, powz)
+            at_zg = evaluate_trace_polys_at(tp, zg, ext_deg, B, powzg)
+            ood_traces_states.append([at_z, at_zg])
+        ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg, B)
     channel.send_ood_trace_states(ood_traces_states)
-
-    ood_evaluations = evaluate_columns_at(comp_columns, z, ext_deg, B)
     channel.send_ood_constraint_evaluations(ood_evaluations)
 
     deep_coefficients = channel.get_deep_composition_coeffs()
-    deep = DeepCompositionPoly(z, deep_coefficients, ext_deg, B)
-    deep.add_trace_polys(traces_polys, ood_traces_states)
-    deep.add_composition_poly(comp_columns, ood_evaluations)
-    if deep.degree() != trace_length - 2:
-        # mirrors ProverError::... (prover/src/lib.rs:535) — a wrong DEEP
-        # degree means the AIR's constraint degrees are inconsistent
-        raise ProverError(
-            f"DEEP composition degree {deep.degree()} != {trace_length - 2}"
-        )
+    if deep_fn is not None:
+        deep_coeffs = deep_fn(z, deep_coefficients, ood_traces_states,
+                              ood_evaluations)
+    else:
+        deep = DeepCompositionPoly(z, deep_coefficients, ext_deg, B)
+        deep.add_trace_polys(traces_polys, ood_traces_states)
+        deep.add_composition_poly(comp_columns, ood_evaluations)
+        if deep.degree() != trace_length - 2:
+            # mirrors ProverError::... (prover/src/lib.rs:535) — a wrong
+            # DEEP degree means the AIR's constraint degrees are
+            # inconsistent
+            raise ProverError(
+                f"DEEP composition degree {deep.degree()} != "
+                f"{trace_length - 2}"
+            )
+        deep_coeffs = deep.coefficients
 
     logger.debug(
         "built DEEP composition polynomial of degree %d in %.0f ms",
@@ -245,10 +265,10 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
 
     # Phase 5-6: DEEP evaluation over LDE + FRI (lib.rs:543-561)
     if deep_lde_and_fri is not None:
-        fri_prover = deep_lde_and_fri(deep.coefficients)
+        fri_prover = deep_lde_and_fri(deep_coeffs)
     else:
         deep_evaluations = B.evaluate_poly_with_offset(
-            deep.coefficients, domain.domain_offset, domain.trace_to_lde_blowup
+            deep_coeffs, domain.domain_offset, domain.trace_to_lde_blowup
         )
         if spec.name == "f64":
             fri_prover = FriProver(options.to_fri_options(), hasher, ext_deg)

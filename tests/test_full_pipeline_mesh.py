@@ -1,7 +1,10 @@
 """Multi-chip FULL proving step on a virtual 8-device mesh: byte-identical
 to the host pipeline."""
 
+import os
+
 import numpy as np
+import pytest
 
 from starkpack_winterfell_tpu.air.options import FieldExtension, ProofOptions
 from starkpack_winterfell_tpu.crypto.hashers import Blake3_256
@@ -119,6 +122,30 @@ def test_prove_mesh_f128_four_step_ntt():
         mesh_proof = prove_mesh(prover, n, traces, mesh)
     finally:
         F128.MAX_NTT_TILE = old
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(air_cls, mesh_proof, pub_inputs, Sha3_256)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STARKPACK_SLOW_TESTS"),
+    reason="XLA:CPU compiles the limb device-OOD/DEEP kernels in ~12 min "
+    "(verified byte-identical; run with STARKPACK_SLOW_TESTS=1, or on TPU "
+    "where the remote compiler handles it)",
+)
+def test_prove_mesh_f128_device_tail():
+    """Trace length >= 4096 activates the device OOD/DEEP/composition-iNTT
+    tail for limb fields — must stay byte-identical to the host pipeline."""
+    from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f128")
+    mesh = make_mesh(4)
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    traces = [build_trace(4096) for _ in range(2)]
+    prover = prover_cls(options, Sha3_256)
+    host_proof = prover.prove(2, traces)
+    mesh_proof = prove_mesh(prover, 2, traces, mesh)
     assert mesh_proof.to_bytes() == host_proof.to_bytes()
     pub_inputs = [prover.get_pub_inputs(t) for t in traces]
     assert verify(air_cls, mesh_proof, pub_inputs, Sha3_256)
