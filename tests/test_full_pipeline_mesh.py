@@ -142,10 +142,11 @@ def test_prove_mesh_f128_device_tail():
     air_cls, build_trace, prover_cls, _ = get_fib_family("f128")
     mesh = make_mesh(4)
     options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
-    traces = [build_trace(4096) for _ in range(2)]
+    n = 3  # n_pad = 4: padded instances must contribute nothing to the tail
+    traces = [build_trace(4096) for _ in range(n)]
     prover = prover_cls(options, Sha3_256)
-    host_proof = prover.prove(2, traces)
-    mesh_proof = prove_mesh(prover, 2, traces, mesh)
+    host_proof = prover.prove(n, traces)
+    mesh_proof = prove_mesh(prover, n, traces, mesh)
     assert mesh_proof.to_bytes() == host_proof.to_bytes()
     pub_inputs = [prover.get_pub_inputs(t) for t in traces]
     assert verify(air_cls, mesh_proof, pub_inputs, Sha3_256)
