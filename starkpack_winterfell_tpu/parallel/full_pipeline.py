@@ -814,8 +814,10 @@ def prove_mesh(prover, n: int, traces, mesh):
             lambda: sharded_lde_blocks(mesh, B, 1, trace_length,
                                        L // trace_length, offset),
         )
+        # reshape works on host AND device arrays; np.asarray here would
+        # pull device DEEP coefficients just to re-upload them to k4
         cols = tuple(
-            tuple(np.asarray(l).reshape(1, trace_length) for l in c)
+            tuple(l.reshape(1, trace_length) for l in c)
             for c in deep_coefficients
         )
         deep_rows = k4(cols)  # comps (1, L) sharded on the last axis
