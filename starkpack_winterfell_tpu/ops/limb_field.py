@@ -379,6 +379,43 @@ class LimbField:
     # constants, so the traced graph stays O(log n) ops with tiny literals).
     MAX_NTT_TILE = 4096
 
+    # Pallas tile-kernel engagement thresholds: the fused-VMEM kernel wins
+    # when the stage loop would otherwise make many HBM passes over a big
+    # array; tiny transforms stay on plain XLA (each new (n, lanes) shape
+    # costs one Mosaic compile — expensive through the axon remote tunnel).
+    PALLAS_MIN_N = 256
+    PALLAS_MIN_LANES = 64
+
+    def _pallas_on(self, xp) -> bool:
+        if xp is np:
+            return False
+        from .pallas import limb_kernel
+
+        return limb_kernel.enabled()
+
+    def _tile_cap(self, xp) -> int:
+        """Largest tile transform for this array backend: the Pallas kernel's
+        VMEM budget caps k=4 tiles at 2048 (the XLA path takes 4096)."""
+        if self._pallas_on(xp):
+            from .pallas import limb_kernel
+
+            return min(self.MAX_NTT_TILE, limb_kernel.max_tile(self))
+        return self.MAX_NTT_TILE
+
+    def _use_pallas_tile(self, a, n: int) -> bool:
+        if not self._pallas_on(_xp(a[0])):
+            return False
+        from .pallas import limb_kernel
+
+        shape = a[0].shape
+        batch = 1
+        for d in shape[:-1]:
+            batch *= int(d)
+        return (
+            self.PALLAS_MIN_N <= n <= limb_kernel.max_tile(self)
+            and batch >= self.PALLAS_MIN_LANES
+        )
+
     def _pow_series(self, bases, length: int, xp):
         """bases: limb tuple shaped (..., 1) -> (..., length) power series
         out[..., j] = base^j, via log-doubling (log2(length) muls)."""
@@ -397,13 +434,14 @@ class LimbField:
             cur = tuple(l[..., :length] for l in cur)
         return cur
 
-    def _split_tiles(self, n: int):
+    def _split_tiles(self, n: int, cap: int = None):
+        cap = self.MAX_NTT_TILE if cap is None else cap
         bits = n.bit_length() - 1
         r = 1 << ((bits + 1) // 2)
-        while r > self.MAX_NTT_TILE:
+        while r > cap:
             r >>= 1
         c = n // r
-        assert c <= self.MAX_NTT_TILE, f"n={n} too large for two-level tiles"
+        assert c <= cap, f"n={n} too large for two-level tiles (cap {cap})"
         return r, c
 
     def _ntt_four_step(self, a, inverse: bool, xp, pre_row=None, pre_col=None):
@@ -420,7 +458,7 @@ class LimbField:
         power-series input scaling s^t factors through the tile split, so
         coset offsets never materialize length-n tables."""
         n = a[0].shape[-1]
-        r, c = self._split_tiles(n)
+        r, c = self._split_tiles(n, self._tile_cap(xp))
         bits = n.bit_length() - 1
         root = self.get_root_of_unity(bits)
         if inverse:
@@ -452,8 +490,16 @@ class LimbField:
         n = a[0].shape[-1]
         if n == 1:
             return a
-        if n > self.MAX_NTT_TILE:
+        if n > self._tile_cap(xp):
             a = self._ntt_four_step(a, inverse, xp)
+            if inverse and scale:
+                n_inv = self.from_int(pow(n, self.P - 2, self.P))
+                a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
+            return a
+        if xp is not np and self._use_pallas_tile(a, n):
+            from .pallas import limb_kernel
+
+            a = limb_kernel.ntt_last_axis(self, a, inverse)
             if inverse and scale:
                 n_inv = self.from_int(pow(n, self.P - 2, self.P))
                 a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
@@ -491,7 +537,7 @@ class LimbField:
         xp = _xp(a[0])
         n = a[0].shape[-1]
         L = n * blowup
-        if L > self.MAX_NTT_TILE:
+        if L > self._tile_cap(xp):
             return self._lde_cosets(a, domain_offset, blowup, xp)
         offs = self.from_ints(
             [pow(domain_offset, j, self.P) for j in range(n)]
@@ -515,8 +561,10 @@ class LimbField:
             (domain_offset * pow(g_L, r, self.P)) % self.P
             for r in range(blowup)
         ]
-        if n > self.MAX_NTT_TILE:
-            r_t, c_t = self._split_tiles(n)
+        if n > self._tile_cap(xp):
+            # split with the SAME cap _ntt_four_step will use, or the
+            # pre_row/pre_col table shapes won't match its tile view
+            r_t, c_t = self._split_tiles(n, self._tile_cap(xp))
             # s^t = (s^c)^{t1} * s^{t2} across the (r_t, c_t) tile view
             row_b = self.from_ints([pow(s, c_t, self.P) for s in s_list])
             col_b = self.from_ints(s_list)
