@@ -83,9 +83,10 @@ def test_device_matches_host_f62():
     assert dev_proof.to_bytes() == host_proof.to_bytes()
 
 
-def test_device_host_backed_hasher_falls_back():
-    """Rp62_248's words API is host-backed; device=True must transparently
-    produce the (byte-identical) host proof instead of crashing in jit."""
+def test_device_native_f62_transcript_hasher():
+    """f62 + its native Rp62_248 transcript hasher on device=True: the
+    jittable limb-permutation words path must reproduce the host proof
+    byte for byte (device commits hash with Rescue-Prime in jit)."""
     from starkpack_winterfell_tpu.crypto.rescue62 import Rp62_248
     from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
 
@@ -96,3 +97,29 @@ def test_device_host_backed_hasher_falls_back():
     host = prover.prove(1, traces)
     dev = prover.prove(1, traces, device=True)
     assert dev.to_bytes() == host.to_bytes()
+
+
+def test_rp62_words_api_jit_differential():
+    """hash_words/merge_words on traced jax arrays == the native numpy
+    sponge, for several row widths (absorb-loop chunk boundaries)."""
+    import jax
+    import jax.numpy as jnp
+
+    from starkpack_winterfell_tpu.crypto.rescue62 import P62, Rp62_248
+
+    rng = np.random.default_rng(5)
+    for n_elems in (4, 8, 11, 24):
+        vals = rng.integers(0, P62, size=(5, n_elems), dtype=np.uint64)
+        words = np.zeros((5, 2 * n_elems), dtype=np.uint32)
+        words[:, 0::2] = (vals & 0xFFFFFFFF).astype(np.uint32)
+        words[:, 1::2] = (vals >> np.uint64(32)).astype(np.uint32)
+        want = Rp62_248.hash_words(words, n_elems * 8)
+        got = jax.jit(
+            lambda w, n=n_elems: Rp62_248.hash_words(w, n * 8)
+        )(jnp.asarray(words))
+        np.testing.assert_array_equal(np.asarray(got), want)
+    l = np.asarray(want, dtype=np.uint32)
+    r = l[::-1].copy()
+    want_m = Rp62_248.merge_words(l, r)
+    got_m = jax.jit(Rp62_248.merge_words)(jnp.asarray(l), jnp.asarray(r))
+    np.testing.assert_array_equal(np.asarray(got_m), want_m)
