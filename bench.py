@@ -104,8 +104,71 @@ def bench_ntt():
     }
 
 
+def _tpu_reachable(timeout_s: int = 150) -> bool:
+    """Probe backend init in a subprocess: the axon tunnel, when down, HANGS
+    device enumeration forever (it does not error), which would hang the
+    whole bench run."""
+    import subprocess
+    import sys
+
+    code = (
+        "import faulthandler; faulthandler.dump_traceback_later(%d, exit=True)\n"
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "print(np.asarray(jnp.arange(4).sum()))\n" % (timeout_s - 5)
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def bench_ntt_cpu_fallback():
+    """Tunnel-down fallback: a plain-XLA f64 LDE on the host CPU backend,
+    reported under an explicit fallback metric name (NOT a chip number) so
+    a dead tunnel yields an honest data point instead of a hung run."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starkpack_winterfell_tpu.ops import gl64 as gl
+    from starkpack_winterfell_tpu.ops import ntt
+
+    log_n, blowup, batch = 16, 8, 10
+    n = 1 << log_n
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, gl.P, size=(batch, n), dtype=np.uint64)
+    pair = tuple(jnp.asarray(v) for v in gl.from_u64(x))
+
+    def run(lo, hi):
+        polys = ntt.interpolate_poly(((lo, hi),))
+        return ntt.evaluate_poly_with_offset(polys, 7, blowup)[0]
+
+    fn = jax.jit(run)
+    _ = np.asarray(fn(*pair)[0][0, 0])
+    t0 = time.perf_counter()
+    out = fn(*pair)
+    _ = np.asarray(out[0][0, 0])
+    dt = time.perf_counter() - t0
+    rate = batch * (n * log_n // 2 + n * blowup * log_n // 2) / dt
+    return {
+        "metric": "ntt_butterflies_per_s_CPU_FALLBACK_tpu_tunnel_down",
+        "value": round(rate, -3),
+        "unit": "butterflies/s",
+        "vs_baseline": round(rate / BASELINE_BUTTERFLIES_PER_S, 2),
+    }
+
+
 def main():
     workload = os.environ.get("BENCH_WORKLOAD", "rescue20")
+    if not _tpu_reachable():
+        print(json.dumps(bench_ntt_cpu_fallback()))
+        return
     if workload == "ntt":
         print(json.dumps(bench_ntt()))
         return

@@ -395,7 +395,13 @@ class LimbField:
 
     def _tile_cap(self, xp) -> int:
         """Largest tile transform for this array backend: the Pallas kernel's
-        VMEM budget caps k=4 tiles at 2048 (the XLA path takes 4096)."""
+        VMEM budget caps k=4 tiles at 2048 (the XLA path takes 4096); the
+        MXU matmul engine targets small dense tiles (the four-step recursion
+        builds any n as a tower of them)."""
+        from . import mxu_ntt
+
+        if mxu_ntt.enabled(xp):
+            return mxu_ntt.SPLIT_CAP
         if self._pallas_on(xp):
             from .pallas import limb_kernel
 
@@ -414,6 +420,20 @@ class LimbField:
         return (
             self.PALLAS_MIN_N <= n <= limb_kernel.max_tile(self)
             and batch >= self.PALLAS_MIN_LANES
+        )
+
+    def _use_mxu_tile(self, a, n: int) -> bool:
+        from . import mxu_ntt
+
+        if not mxu_ntt.enabled(_xp(a[0])):
+            return False
+        shape = a[0].shape
+        batch = 1
+        for d in shape[:-1]:
+            batch *= int(d)
+        return (
+            mxu_ntt.MIN_TILE <= n <= mxu_ntt.MAX_TILE
+            and batch >= mxu_ntt.MIN_BATCH
         )
 
     def _pow_series(self, bases, length: int, xp):
@@ -441,7 +461,8 @@ class LimbField:
         while r > cap:
             r >>= 1
         c = n // r
-        assert c <= cap, f"n={n} too large for two-level tiles (cap {cap})"
+        # c may exceed cap: ntt() recurses into another four-step level on
+        # the column axis, so any n builds as a tower of <=cap tiles
         return r, c
 
     def _ntt_four_step(self, a, inverse: bool, xp, pre_row=None, pre_col=None):
@@ -492,6 +513,14 @@ class LimbField:
             return a
         if n > self._tile_cap(xp):
             a = self._ntt_four_step(a, inverse, xp)
+            if inverse and scale:
+                n_inv = self.from_int(pow(n, self.P - 2, self.P))
+                a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
+            return a
+        if xp is not np and self._use_mxu_tile(a, n):
+            from . import mxu_ntt
+
+            a = mxu_ntt.ntt_tile(self, a, inverse)
             if inverse and scale:
                 n_inv = self.from_int(pow(n, self.P - 2, self.P))
                 a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
@@ -690,3 +719,18 @@ F128 = LimbField(
     two_adic_root=23953097886125630542083529559205016746,  # f128/mod.rs
     name="f128",
 )
+
+# Goldilocks as a generic limb field: ops/gl64.py's specialized EPS
+# reduction owns the f64 hot path, but the (lo, hi) u32 representation is
+# exactly a 2-limb canonical element, so generic consumers (the MXU matmul
+# NTT tile) can reduce f64 rows with the E-fold path (E = 2^32 - 1).
+GL64_LIMB = LimbField(
+    modulus=0xFFFFFFFF00000001,
+    n_limbs=2,
+    generator=7,
+    two_adicity=32,
+    two_adic_root=7277203076849721926,  # f64/mod.rs:262
+    name="f64-limb",
+)
+
+FIELDS_BY_NAME = {F62.NAME: F62, F128.NAME: F128, GL64_LIMB.NAME: GL64_LIMB}
