@@ -33,6 +33,7 @@ import numpy as np
 from ..air import Air, AirContext, Assertion, TransitionConstraintDegree
 from ..crypto.rescue import ARK1, ARK2, INV_MDS, MDS, NUM_ROUNDS, STATE_WIDTH, Rp64_256
 from ..math import scalar as fs
+from ..ops.felt import mds_apply
 from ..prover.pipeline import Prover
 from ..prover.trace import TraceTable
 from .rescue_chain import CYCLE_LENGTH, _round_ints
@@ -80,21 +81,10 @@ class LamportAir(Air):
             state = [cur[base + i] for i in range(STATE_WIDTH)]
             nstate = [nxt[base + i] for i in range(STATE_WIDTH)]
             s7 = [s**7 for s in state]
-            fwd = []
-            for i in range(STATE_WIDTH):
-                acc = None
-                for j in range(STATE_WIDTH):
-                    term = s7[j] * MDS[i][j]
-                    acc = term if acc is None else acc + term
-                fwd.append(acc + ark1[i])
+            fwd = mds_apply(s7, MDS)
+            fwd = [f + ark1[i] for i, f in enumerate(fwd)]
             diff = [nstate[i] - ark2[i] for i in range(STATE_WIDTH)]
-            bwd = []
-            for i in range(STATE_WIDTH):
-                acc = None
-                for j in range(STATE_WIDTH):
-                    term = diff[j] * INV_MDS[i][j]
-                    acc = term if acc is None else acc + term
-                bwd.append(acc**7)
+            bwd = [b**7 for b in mds_apply(diff, INV_MDS)]
             return [fwd[i] - bwd[i] for i in range(STATE_WIDTH)]
 
         round_a = round_constraints(A0)

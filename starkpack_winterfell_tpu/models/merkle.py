@@ -22,6 +22,7 @@ import numpy as np
 from ..air import Air, AirContext, Assertion, TransitionConstraintDegree
 from ..crypto.rescue import ARK1, ARK2, INV_MDS, MDS, NUM_ROUNDS, STATE_WIDTH
 from ..math import scalar as fs
+from ..ops.felt import mds_apply
 from ..prover.pipeline import Prover
 from ..prover.trace import TraceTable
 from .rescue_chain import CYCLE_LENGTH, _round_ints
@@ -56,21 +57,10 @@ class MerklePathAir(Air):
         one = 1
 
         cur7 = [cur[i] ** 7 for i in range(STATE_WIDTH)]
-        fwd = []
-        for i in range(STATE_WIDTH):
-            acc = None
-            for j in range(STATE_WIDTH):
-                term = cur7[j] * MDS[i][j]
-                acc = term if acc is None else acc + term
-            fwd.append(acc + ark1[i])
+        fwd = mds_apply(cur7, MDS)
+        fwd = [f + ark1[i] for i, f in enumerate(fwd)]
         diff = [nxt[i] - ark2[i] for i in range(STATE_WIDTH)]
-        bwd = []
-        for i in range(STATE_WIDTH):
-            acc = None
-            for j in range(STATE_WIDTH):
-                term = diff[j] * INV_MDS[i][j]
-                acc = term if acc is None else acc + term
-            bwd.append(acc**7)
+        bwd = [b**7 for b in mds_apply(diff, INV_MDS)]
 
         # absorb-row constraints
         absorb = [None] * STATE_WIDTH

@@ -27,6 +27,7 @@ from ..crypto.rescue import (
 )
 from ..crypto import rescue as _rescue
 from ..math import scalar as fs
+from ..ops.felt import mds_apply
 from ..prover.pipeline import Prover
 from ..prover.trace import TraceTable
 
@@ -62,23 +63,12 @@ class RescueChainAir(Air):
 
         # forward half: MDS(cur^7) + ark1
         cur7 = [c**7 for c in cur]
-        fwd = []
-        for i in range(STATE_WIDTH):
-            acc = None
-            for j in range(STATE_WIDTH):
-                term = cur7[j] * MDS[i][j]
-                acc = term if acc is None else acc + term
-            fwd.append(acc + ark1[i])
+        fwd = mds_apply(cur7, MDS)
+        fwd = [f + ark1[i] for i, f in enumerate(fwd)]
 
         # backward half: (INV_MDS(next - ark2))^7
         diff = [nxt[i] - ark2[i] for i in range(STATE_WIDTH)]
-        bwd = []
-        for i in range(STATE_WIDTH):
-            acc = None
-            for j in range(STATE_WIDTH):
-                term = diff[j] * INV_MDS[i][j]
-                acc = term if acc is None else acc + term
-            bwd.append(acc**7)
+        bwd = [b**7 for b in mds_apply(diff, INV_MDS)]
 
         one = 1
         for i in range(STATE_WIDTH):

@@ -168,3 +168,25 @@ def get_rescue128():
             lib._keepalive = (mds, ark, inv_a)
         _CACHE["r128"] = lib
     return _CACHE["r128"]
+
+
+def get_gl64mod():
+    """ctypes handle for the Goldilocks batch mod-arith kernels
+    (gl64_mod.c: gl_mulmod/gl_addmod/gl_submod), or None if no compiler."""
+    if "gl64" not in _CACHE:
+        lib = _build("starkgl64", "gl64_mod.c", extra=("-fopenmp",))
+        if lib is not None:
+            p = ctypes.c_void_p
+            sz = ctypes.c_size_t
+            for fn in ("gl_mulmod", "gl_addmod", "gl_submod"):
+                f = getattr(lib, fn)
+                f.argtypes = [p, p, p, p, p, p, sz, sz]
+                f.restype = None
+            lib.gl_matvec.argtypes = [sz, p, p, p, sz]
+            lib.gl_matvec.restype = None
+            lib.gl_ntt_stage.argtypes = [p, p, p, p, p, p, sz, sz]
+            lib.gl_ntt_stage.restype = None
+            lib.gl_expmod.argtypes = [p, p, ctypes.c_uint64, p, p, sz]
+            lib.gl_expmod.restype = None
+        _CACHE["gl64"] = lib
+    return _CACHE["gl64"]

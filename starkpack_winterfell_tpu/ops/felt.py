@@ -165,6 +165,32 @@ class Felt:
         e = int(e)
         if e == 0:
             return Felt.one(self.shape, self.deg, self.B._xp(self.c[0]), self.B)
+        if (
+            0 < e < (1 << 64)
+            and self.deg == 1
+            and getattr(self.B.spec, "name", None) == "f64"
+            and isinstance(self.c[0][0], np.ndarray)
+            and self.c[0][0].size >= 1 << 12
+        ):
+            # host f64: one fused native pass (gl64_mod.c gl_expmod)
+            # instead of a square-and-multiply chain of full-array passes
+            from . import gl64 as gl
+
+            lib = gl._native_mod()
+            if lib is not None:
+                import ctypes
+
+                lo = np.ascontiguousarray(self.c[0][0])
+                hi = np.ascontiguousarray(self.c[0][1])
+                rlo = np.empty_like(lo)
+                rhi = np.empty_like(hi)
+                p = ctypes.c_void_p
+                lib.gl_expmod(
+                    lo.ctypes.data_as(p), hi.ctypes.data_as(p),
+                    ctypes.c_uint64(e),
+                    rlo.ctypes.data_as(p), rhi.ctypes.data_as(p), lo.size,
+                )
+                return Felt(((rlo, rhi),), B=self.B)
         result = None
         base = self
         while e:
@@ -208,6 +234,76 @@ class Felt:
             return f"Felt({self.B.name}, deg={self.deg}, {self.to_elems()!r})"
         except Exception:
             return f"Felt({self.B.name}, deg={self.deg}, shape={self.shape}, traced)"
+
+
+def mds_apply(states, rows) -> list:
+    """out_i = sum_j rows[i][j] * states[j] — dense matrix application over
+    a list of Felts (the AIR-side MDS / INV_MDS pattern, e.g.
+    examples/src/rescue/air.rs's enforce_round).  On the host f64 base-field
+    path this is ONE fused native pass (gl64_mod.c gl_matvec) instead of
+    w*w full-array constant multiplies; everywhere else (traced, extension
+    degrees, limb fields) it is the identical per-term math, so results are
+    bit-equal across paths."""
+    w = len(states)
+    s0 = states[0]
+    B = getattr(s0, "B", None)  # None: verifier's ScalarFelt OOD path
+    if B is None and hasattr(s0, "spec") and all(
+        isinstance(getattr(s, "v", None), int) for s in states
+    ):
+        # ScalarFelt raw-int row dots, ONE reduction per row (the same
+        # fast path as crypto/rescue128._felt_mds)
+        spec = s0.spec
+        P = spec.P
+        cls = type(s0)
+        vals = [s.v for s in states]
+        return [
+            cls(sum(int(rows[i][j]) * vals[j] for j in range(w)) % P, spec)
+            for i in range(w)
+        ]
+    if (
+        B is not None
+        and getattr(s0, "deg", None) == 1
+        and getattr(B, "spec", None) is not None
+        and getattr(B.spec, "name", None) == "f64"
+        and isinstance(s0.c[0][0], np.ndarray)
+        and s0.c[0][0].size >= 1 << 12
+        and w <= 16
+    ):
+        from . import gl64 as gl
+
+        lib = gl._native_mod()
+        if lib is not None and all(
+            isinstance(f.c[0][0], np.ndarray) and f.c[0][0].shape == s0.c[0][0].shape
+            for f in states
+        ):
+            import ctypes
+
+            shape = s0.c[0][0].shape
+            n = s0.c[0][0].size
+            planes = []
+            for f in states:
+                planes.append(np.ascontiguousarray(f.c[0][0]))
+                planes.append(np.ascontiguousarray(f.c[0][1]))
+            m = np.array(
+                [int(rows[i][j]) % gl.P for i in range(w) for j in range(w)],
+                dtype=np.uint64,
+            )
+            outs = [np.empty(shape, dtype=np.uint32) for _ in range(2 * w)]
+            PTR = ctypes.c_void_p * (2 * w)
+            sp = PTR(*[p.ctypes.data for p in planes])
+            op = PTR(*[p.ctypes.data for p in outs])
+            lib.gl_matvec(w, sp, m.ctypes.data_as(ctypes.c_void_p), op, n)
+            return [
+                Felt(((outs[2 * i], outs[2 * i + 1]),), B=B) for i in range(w)
+            ]
+    out = []
+    for i in range(w):
+        acc = None
+        for j in range(w):
+            term = states[j] * rows[i][j]
+            acc = term if acc is None else acc + term
+        out.append(acc)
+    return out
 
 
 def stack(felts, axis=0) -> Felt:

@@ -192,10 +192,92 @@ def _xp2(x, y):
     return jnp
 
 
+# -- native host kernels (gl64_mod.c) ----------------------------------------
+# The numpy formulation pays dozens of full-array passes per op (16-bit
+# partials + carry chains, shared with the traced 32-bit TPU path); on host
+# a single-pass OpenMP C kernel does one __uint128_t product + EPS fold per
+# element.  b may be a suffix-repeating pattern (twiddle rows, scalars).
+
+_NATIVE_MOD = None
+_NATIVE_MOD_TRIED = False
+NATIVE_MIN_SIZE = 1 << 12
+
+
+def _native_mod():
+    global _NATIVE_MOD, _NATIVE_MOD_TRIED
+    if not _NATIVE_MOD_TRIED:
+        _NATIVE_MOD_TRIED = True
+        try:
+            from ..native import get_gl64mod
+
+            _NATIVE_MOD = get_gl64mod()
+        except Exception:
+            _NATIVE_MOD = None
+    return _NATIVE_MOD
+
+
+def _native_args(a, b, allow_swap: bool):
+    """(a, b, out_shape, nb) if the C kernels can serve this op: both numpy
+    u32, a C-contiguous, b a suffix-repeating pattern of a (b.shape, with
+    leading 1s stripped, a suffix of a.shape).  Returns None otherwise."""
+    alo, ahi = a
+    blo, bhi = b
+    if not (
+        isinstance(alo, np.ndarray)
+        and isinstance(blo, np.ndarray)
+        and alo.dtype == _U32
+        and blo.dtype == _U32
+    ):
+        return None
+    if alo.size < blo.size and allow_swap:
+        return _native_args(b, a, False)
+    if alo.size < NATIVE_MIN_SIZE or alo.shape != ahi.shape or blo.shape != bhi.shape:
+        return None
+    bs = blo.shape
+    while bs and bs[0] == 1:
+        bs = bs[1:]
+    if bs != () and alo.shape[len(alo.shape) - len(bs):] != bs:
+        return None
+    nb = max(1, int(blo.size))
+    return a, b, alo.shape, nb
+
+
+def _native_call(fn_name, a, b, allow_swap: bool):
+    lib = _native_mod()
+    if lib is None:
+        return None
+    args = _native_args(a, b, allow_swap)
+    if args is None:
+        return None
+    (alo, ahi), (blo, bhi), shape, nb = args
+    import ctypes
+
+    # sliced views (NTT butterflies) arrive non-contiguous: one copy pass
+    # still beats the ~50-pass numpy formulation
+    alo = np.ascontiguousarray(alo)
+    ahi = np.ascontiguousarray(ahi)
+    blo = np.ascontiguousarray(blo)
+    bhi = np.ascontiguousarray(bhi)
+    rlo = np.empty(shape, dtype=_U32)
+    rhi = np.empty(shape, dtype=_U32)
+    p = ctypes.c_void_p
+    getattr(lib, fn_name)(
+        alo.ctypes.data_as(p), ahi.ctypes.data_as(p),
+        blo.ctypes.data_as(p), bhi.ctypes.data_as(p),
+        rlo.ctypes.data_as(p), rhi.ctypes.data_as(p),
+        alo.size, nb,
+    )
+    return rlo, rhi
+
+
 def add(a, b):
     alo, ahi = a
     blo, bhi = b
     xp = _xp2(alo, blo)
+    if xp is np:
+        r = _native_call("gl_addmod", a, b, True)
+        if r is not None:
+            return r
     slo, shi, co = _add64(alo, ahi, blo, bhi, xp)
     slo, shi, _ = _add64(slo, shi, co * _U32(EPS), xp.zeros_like(slo), xp)
     return _canon(slo, shi, xp)
@@ -205,6 +287,10 @@ def sub(a, b):
     alo, ahi = a
     blo, bhi = b
     xp = _xp2(alo, blo)
+    if xp is np:
+        r = _native_call("gl_submod", a, b, False)
+        if r is not None:
+            return r
     rlo, rhi, bo = _sub64(alo, ahi, blo, bhi, xp)
     rlo, rhi, _ = _sub64(rlo, rhi, bo * _U32(EPS), xp.zeros_like(rlo), xp)
     return rlo, rhi
@@ -220,6 +306,10 @@ def mul(a, b):
     alo, ahi = a
     blo, bhi = b
     xp = _xp2(alo, blo)
+    if xp is np:
+        r = _native_call("gl_mulmod", a, b, True)
+        if r is not None:
+            return r
     c0, c1, c2, c3 = _mul64_full(alo, ahi, blo, bhi, xp)
     return _reduce128(c0, c1, c2, c3, xp)
 

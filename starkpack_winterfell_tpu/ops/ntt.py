@@ -120,6 +120,14 @@ def ntt_components(comps, inverse: bool = False, scale: bool = True, consts=None
     rev, tables = consts if consts is not None else (_bit_rev_perm(n), _stage_twiddles(n, inverse))
     comps = tuple((xp.take(lo, rev, axis=-1), xp.take(hi, rev, axis=-1)) for lo, hi in comps)
 
+    if xp is np:
+        r = _ntt_stages_native(comps, n, bits, tables)
+        if r is not None:
+            if inverse and scale:
+                n_inv = pow(n, gl.P - 2, gl.P)
+                r = tuple(_scale_const(c, n_inv, xp) for c in r)
+            return r
+
     for s in range(1, bits + 1):
         m = 1 << s
         half = m // 2
@@ -153,6 +161,42 @@ def _scale_const(c, k: int, xp):
     kc = gl.from_int(k)
     kc = (xp.asarray(kc[0]), xp.asarray(kc[1]))
     return gl.mul(c, kc)
+
+
+def _ntt_stages_native(comps, n: int, bits: int, tables):
+    """All butterfly stages through the fused single-pass C kernel
+    (native/gl64_mod.c gl_ntt_stage) — one read + one write of the array
+    per stage instead of ~6 numpy passes.  None if unavailable/small."""
+    lib = gl._native_mod()
+    if lib is None or n * max(
+        int(np.prod(c[0].shape[:-1])) for c in comps
+    ) < gl.NATIVE_MIN_SIZE:
+        return None
+    import ctypes
+
+    p = ctypes.c_void_p
+    out = []
+    for lo, hi in comps:
+        shape = lo.shape
+        cur_lo = np.ascontiguousarray(lo).reshape(-1)
+        cur_hi = np.ascontiguousarray(hi).reshape(-1)
+        total = cur_lo.size
+        nxt_lo = np.empty_like(cur_lo)
+        nxt_hi = np.empty_like(cur_hi)
+        for s in range(1, bits + 1):
+            twl, twh = tables[s - 1]
+            twl = np.ascontiguousarray(twl)
+            twh = np.ascontiguousarray(twh)
+            lib.gl_ntt_stage(
+                cur_lo.ctypes.data_as(p), cur_hi.ctypes.data_as(p),
+                twl.ctypes.data_as(p), twh.ctypes.data_as(p),
+                nxt_lo.ctypes.data_as(p), nxt_hi.ctypes.data_as(p),
+                total, 1 << s,
+            )
+            cur_lo, nxt_lo = nxt_lo, cur_lo
+            cur_hi, nxt_hi = nxt_hi, cur_hi
+        out.append((cur_lo.reshape(shape), cur_hi.reshape(shape)))
+    return tuple(out)
 
 
 def _ntt_axis0(comps, inverse: bool = False):
