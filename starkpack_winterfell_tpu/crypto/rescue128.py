@@ -128,6 +128,11 @@ def _felt_mds(state, m):
             )
             for i in range(STATE_WIDTH)
         ]
+    if B is not None:
+        from ..ops.felt import mds_apply
+
+        # limb-field matvec with deferred reduction (one per output row)
+        return mds_apply(list(state), m)
     out = []
     for i in range(STATE_WIDTH):
         acc = None

@@ -296,6 +296,16 @@ def mds_apply(states, rows) -> list:
             return [
                 Felt(((outs[2 * i], outs[2 * i + 1]),), B=B) for i in range(w)
             ]
+    if (
+        B is not None
+        and getattr(s0, "deg", None) == 1
+        and hasattr(B, "F")
+        and all(getattr(f, "deg", None) == 1 for f in states)
+    ):
+        # limb fields (f62/f128): deferred-reduction matvec — traceable,
+        # one reduction per output row instead of w*w (device CE path too)
+        outs = B.F.matvec([f.c[0] for f in states], rows)
+        return [Felt((o,), B=B) for o in outs]
     out = []
     for i in range(w):
         acc = None

@@ -294,6 +294,58 @@ class LimbField:
             out = self._canon(out, xp)
         return out
 
+    def matvec(self, states, m_rows):
+        """Dense matrix application over the state axis with DEFERRED
+        reduction: out_i = sum_j m[i][j] * states[j], accumulated as raw
+        limb products and reduced ONCE per output row instead of once per
+        term (w reductions instead of w*w) — the AIR-side MDS / INV_MDS
+        pattern, traceable, so the device CE path benefits too.  Constants
+        use their minimal limb count (small MDS entries cost one u32
+        multiply per state limb)."""
+        xp = _xp(states[0][0])
+        w = len(states)
+        key = ("mv", tuple(tuple(int(v) for v in row) for row in m_rows))
+        if not hasattr(self, "_mv_cache"):
+            self._mv_cache = {}
+        if key in self._mv_cache:
+            consts = self._mv_cache[key]
+        else:
+            consts = [
+                [
+                    _int_to_limbs(
+                        int(m_rows[i][j]) % self.P,
+                        _nbits_limbs(int(m_rows[i][j]) % self.P),
+                    )
+                    if int(m_rows[i][j]) % self.P
+                    else None
+                    for j in range(w)
+                ]
+                for i in range(w)
+            ]
+            self._mv_cache[key] = consts
+        p2 = (self.P - 1) ** 2
+        outs = []
+        for i in range(w):
+            acc = None
+            bound = 0
+            for j in range(w):
+                cl = consts[i][j]
+                if cl is None:
+                    continue
+                c = [xp.full_like(states[j][0], _U32(l)) for l in cl]
+                prod = _mul_limbs(list(states[j]), c, xp)
+                bound += p2
+                if acc is None:
+                    acc = prod
+                else:
+                    keep = (bound.bit_length() + 31) // 32
+                    acc = _add_limbs(acc, prod, xp)[:keep]
+            if acc is None:
+                outs.append(self.zeros(states[0][0].shape, xp))
+            else:
+                outs.append(self._reduce(acc, xp, bound=bound))
+        return outs
+
     def exp_int(self, a, e: int):
         xp = _xp(a[0])
         e = int(e)
