@@ -66,3 +66,35 @@ class TestLimbField:
         i = jax.jit(F.inv)(fa)
         i_host = tuple(np.asarray(x) for x in i)
         assert F.to_ints(i_host) == [pow(x, F.P - 2, F.P) if x else 0 for x in a]
+
+
+def test_matvec_deferred_reduction_exact():
+    """LimbField.matvec == per-term schoolbook over python ints, including
+    zero and sub-limb constants (host + traced)."""
+    import jax
+    import jax.numpy as jnp
+
+    from starkpack_winterfell_tpu.ops.limb_field import F62, F128
+
+    rng = np.random.default_rng(21)
+    for field in (F62, F128):
+        w = 6
+        m = [[int(x) for x in rng.integers(0, 1 << 63, size=w, dtype=np.uint64)]
+             for _ in range(w)]
+        m[0][1] = 0
+        m[2][3] = 7
+        vals = [int(x) % field.P
+                for x in rng.integers(0, 1 << 63, size=w * 64, dtype=np.uint64)]
+        arr = tuple(l.reshape(w, 64) for l in field.from_ints(vals))
+        states = [tuple(l[j] for l in arr) for j in range(w)]
+        got = field.matvec(states, m)
+        for i in range(w):
+            want = [sum(m[i][j] * vals[j * 64 + k] for j in range(w)) % field.P
+                    for k in range(64)]
+            assert [int(x) for x in field.to_ints(got[i])] == want
+        got_j = jax.jit(lambda s, f=field: f.matvec(s, m))(
+            [tuple(jnp.asarray(x) for x in st) for st in states]
+        )
+        for gi, gw in zip(got_j, got):
+            for a, b in zip(gi, gw):
+                np.testing.assert_array_equal(np.asarray(a), b)
