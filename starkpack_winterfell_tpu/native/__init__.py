@@ -188,5 +188,9 @@ def get_gl64mod():
             lib.gl_ntt_stage.restype = None
             lib.gl_expmod.argtypes = [p, p, ctypes.c_uint64, p, p, sz]
             lib.gl_expmod.restype = None
+            lib.gl_syndiv.argtypes = [p, p, ctypes.c_uint64, p, p, sz, sz]
+            lib.gl_syndiv.restype = None
+            lib.gl_batchinv.argtypes = [p, p, p, p, sz]
+            lib.gl_batchinv.restype = None
         _CACHE["gl64"] = lib
     return _CACHE["gl64"]

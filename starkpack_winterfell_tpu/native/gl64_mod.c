@@ -80,6 +80,60 @@ void gl_submod(const uint32_t *alo, const uint32_t *ahi, const uint32_t *blo,
     }
 }
 
+/* Synthetic division of each row by (x - z), p(z) == 0 (the DEEP
+ * composition quotient): Horner from the top, sequential over the row,
+ * parallel over rows.  out[i] = sum_{j>i} p[j] z^(j-i-1); out[n-1] = 0. */
+void gl_syndiv(const uint32_t *plo, const uint32_t *phi, uint64_t z,
+               uint32_t *olo, uint32_t *ohi, size_t rows, size_t n) {
+#pragma omp parallel for schedule(static)
+    for (size_t r = 0; r < rows; r++) {
+        size_t base = r * n;
+        uint64_t acc = 0;
+        for (size_t i = n; i-- > 0;) {
+            wr(olo, ohi, base + i, acc);
+            uint64_t t = gl_reduce128((unsigned __int128)acc * z);
+            uint64_t p = rd(plo, phi, base + i);
+            acc = t + p;
+            if (acc < p) acc += EPS;
+            if (acc >= P64) acc -= P64;
+        }
+    }
+}
+
+static inline uint64_t gl_powmod(uint64_t a, uint64_t e) {
+    uint64_t acc = 1;
+    while (e) {
+        if (e & 1) acc = gl_reduce128((unsigned __int128)acc * a);
+        e >>= 1;
+        if (e) a = gl_reduce128((unsigned __int128)a * a);
+    }
+    return acc;
+}
+
+/* Montgomery batch inversion over the flattened array: one modular
+ * inversion total; zero entries produce zero outputs. */
+void gl_batchinv(const uint32_t *alo, const uint32_t *ahi, uint32_t *rlo,
+                 uint32_t *rhi, size_t n) {
+    /* prefix products of the nonzero entries */
+    uint64_t run = 1;
+    for (size_t i = 0; i < n; i++) {
+        uint64_t v = rd(alo, ahi, i);
+        wr(rlo, rhi, i, run); /* stash prefix-before in the output */
+        if (v) run = gl_reduce128((unsigned __int128)run * v);
+    }
+    uint64_t inv = gl_powmod(run, P64 - 2);
+    for (size_t i = n; i-- > 0;) {
+        uint64_t v = rd(alo, ahi, i);
+        if (v) {
+            uint64_t pre = rd(rlo, rhi, i);
+            wr(rlo, rhi, i, gl_reduce128((unsigned __int128)inv * pre));
+            inv = gl_reduce128((unsigned __int128)inv * v);
+        } else {
+            wr(rlo, rhi, i, 0);
+        }
+    }
+}
+
 /* Fixed small exponent, single pass (the AIR-side x^7 / x^3 chains). */
 void gl_expmod(const uint32_t *alo, const uint32_t *ahi, uint64_t e,
                uint32_t *rlo, uint32_t *rhi, size_t n) {

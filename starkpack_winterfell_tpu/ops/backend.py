@@ -498,6 +498,40 @@ class GL64Backend(FieldBackend):
 
         return gl.batch_inv(comp)
 
+    def syn_div_binomial(self, p, z):
+        """Host base-field path: one sequential-Horner native pass per row
+        (gl64_mod.c gl_syndiv) instead of power-series + suffix-scan."""
+        from . import gl64 as gl
+
+        if (
+            len(p) == 1
+            and len(z) == 1
+            and isinstance(p[0][0], np.ndarray)
+            and p[0][0].size >= 1 << 12
+        ):
+            lib = gl._native_mod()
+            if lib is not None:
+                import ctypes
+
+                lo = np.ascontiguousarray(p[0][0])
+                hi = np.ascontiguousarray(p[0][1])
+                n = lo.shape[-1]
+                rows = lo.size // n
+                zv = int(np.asarray(z[0][0]).reshape(-1)[0]) | (
+                    int(np.asarray(z[0][1]).reshape(-1)[0]) << 32
+                )
+                rlo = np.empty_like(lo)
+                rhi = np.empty_like(hi)
+                pv = ctypes.c_void_p
+                lib.gl_syndiv(
+                    lo.ctypes.data_as(pv), hi.ctypes.data_as(pv),
+                    ctypes.c_uint64(zv),
+                    rlo.ctypes.data_as(pv), rhi.ctypes.data_as(pv),
+                    rows, n,
+                )
+                return ((rlo, rhi),)
+        return super().syn_div_binomial(p, z)
+
     # extension: specialized kernels
     def ext_mul(self, a, b):
         from . import gl64_ext as ext

@@ -458,6 +458,20 @@ def batch_inv(a, axis=-1):
     lo, hi = a
     xp = _xp(lo)
     if xp is np:
+        lib = _native_mod()
+        if lib is not None:
+            import ctypes
+
+            clo = np.ascontiguousarray(lo)
+            chi = np.ascontiguousarray(hi)
+            rlo = np.empty_like(clo)
+            rhi = np.empty_like(chi)
+            pv = ctypes.c_void_p
+            lib.gl_batchinv(
+                clo.ctypes.data_as(pv), chi.ctypes.data_as(pv),
+                rlo.ctypes.data_as(pv), rhi.ctypes.data_as(pv), clo.size,
+            )
+            return rlo, rhi
         u = to_u64(a)
         flat = u.reshape(-1) if axis in (-1, u.ndim - 1) else np.moveaxis(u, axis, -1).reshape(-1)
         # host: simple sequential Montgomery trick on python ints

@@ -89,3 +89,36 @@ def test_mds_apply_exact_and_matches_loop():
         for j in range(w):
             want = (want + rows[i][j] * vals[j].astype(object)) % gl.P
         np.testing.assert_array_equal(got[i].to_u64s().astype(object), want)
+
+
+def test_batch_inv_exact_including_zeros():
+    rng = np.random.default_rng(15)
+    v = rng.integers(0, gl.P, size=(1 << 12,), dtype=np.uint64)
+    v[5] = 0
+    v[100] = 0
+    got = gl.to_u64(gl.batch_inv(gl.from_u64(v)))
+    want = np.array(
+        [pow(int(x), gl.P - 2, gl.P) if x else 0 for x in v[:256]],
+        dtype=np.uint64,
+    )
+    np.testing.assert_array_equal(got[:256], want)
+
+
+def test_syn_div_matches_suffix_scan_path():
+    import starkpack_winterfell_tpu.ops.backend as bk
+    from starkpack_winterfell_tpu.ops.backend import get_backend
+
+    B = get_backend("f64")
+    rng = np.random.default_rng(16)
+    zv = int(rng.integers(1, np.iinfo(np.int64).max)) % gl.P
+    n = 1 << 12
+    coeffs = rng.integers(0, gl.P, size=(3, n), dtype=np.uint64)
+    for r in range(3):
+        s = sum(int(coeffs[r, j]) * pow(zv, j, gl.P) for j in range(1, n)) % gl.P
+        coeffs[r, 0] = (-s) % gl.P
+    p = (gl.from_u64(coeffs),)
+    z = (gl.from_u64(np.array([zv], dtype=np.uint64)),)
+    got = B.syn_div_binomial(p, z)
+    want = bk.FieldBackend.syn_div_binomial(B, p, z)
+    for g, w in zip(got[0], want[0]):
+        np.testing.assert_array_equal(g, w)
