@@ -194,3 +194,27 @@ def get_gl64mod():
             lib.gl_batchinv.restype = None
         _CACHE["gl64"] = lib
     return _CACHE["gl64"]
+
+
+def get_limbmod():
+    """ctypes handle for the f62/f128 batch field kernels (limb_mod.c),
+    or None if no compiler."""
+    if "limb" not in _CACHE:
+        lib = _build("starklimb", "limb_mod.c", extra=("-fopenmp",))
+        if lib is not None:
+            p = ctypes.c_void_p
+            sz = ctypes.c_size_t
+            lib.f62_mulmod.argtypes = [p, p, p, p, p, p, sz, sz]
+            lib.f62_mulmod.restype = None
+            lib.f62_ntt_stage.argtypes = [p, p, p, p, p, p, sz, sz]
+            lib.f62_ntt_stage.restype = None
+            lib.f62_matvec.argtypes = [sz, p, p, p, sz]
+            lib.f62_matvec.restype = None
+            lib.f128_mulmod.argtypes = [p, p, p, sz, sz]
+            lib.f128_mulmod.restype = None
+            lib.f128_ntt_stage.argtypes = [p, p, p, sz, sz]
+            lib.f128_ntt_stage.restype = None
+            lib.f128_matvec.argtypes = [sz, p, p, p, sz]
+            lib.f128_matvec.restype = None
+        _CACHE["limb"] = lib
+    return _CACHE["limb"]

@@ -247,8 +247,73 @@ class LimbField:
         xp = _xp(a[0])
         return self.sub(self.zeros(a[0].shape, xp), a)
 
+    # -- native host kernels (limb_mod.c) ------------------------------------
+
+    NATIVE_MIN_SIZE = 1 << 12
+
+    def _native_lib(self):
+        if self.NAME not in ("f62", "f128"):
+            return None
+        if not hasattr(self, "_native_cached"):
+            try:
+                from ..native import get_limbmod
+
+                self._native_cached = get_limbmod()
+            except Exception:
+                self._native_cached = None
+        return self._native_cached
+
+    def _plane_ptrs(self, planes):
+        import ctypes
+
+        PTR = ctypes.c_void_p * len(planes)
+        return PTR(*[p.ctypes.data for p in planes])
+
+    def _native_mul(self, a, b):
+        """C single-pass mulmod when b is a suffix-repeating pattern of a
+        (or vice versa); None -> numpy fallback."""
+        lib = self._native_lib()
+        if lib is None:
+            return None
+        if not all(isinstance(x, np.ndarray) and x.dtype == _U32 for x in a + b):
+            return None
+        if a[0].size < b[0].size:
+            a, b = b, a
+        if a[0].size < self.NATIVE_MIN_SIZE:
+            return None
+        bs = b[0].shape
+        while bs and bs[0] == 1:
+            bs = bs[1:]
+        if bs != () and a[0].shape[len(a[0].shape) - len(bs):] != bs:
+            return None
+        shape = a[0].shape
+        ac = [np.ascontiguousarray(x) for x in a]
+        bc = [np.ascontiguousarray(x) for x in b]
+        out = [np.empty(shape, dtype=_U32) for _ in range(self.n)]
+        nb = max(1, int(b[0].size))
+        if self.NAME == "f62":
+            import ctypes
+
+            pv = ctypes.c_void_p
+            lib.f62_mulmod(
+                ac[0].ctypes.data_as(pv), ac[1].ctypes.data_as(pv),
+                bc[0].ctypes.data_as(pv), bc[1].ctypes.data_as(pv),
+                out[0].ctypes.data_as(pv), out[1].ctypes.data_as(pv),
+                a[0].size, nb,
+            )
+        else:
+            lib.f128_mulmod(
+                self._plane_ptrs(ac), self._plane_ptrs(bc),
+                self._plane_ptrs(out), a[0].size, nb,
+            )
+        return tuple(out)
+
     def mul(self, a, b):
         xp = _xp(a[0])
+        if xp is np:
+            r = self._native_mul(tuple(a), tuple(b))
+            if r is not None:
+                return r
         prod = _mul_limbs(list(a), list(b), xp)  # 2n limbs
         return self._reduce(prod, xp)
 
@@ -323,6 +388,53 @@ class LimbField:
                 for i in range(w)
             ]
             self._mv_cache[key] = consts
+        if (
+            xp is np
+            and w <= 16
+            and isinstance(states[0][0], np.ndarray)
+            and states[0][0].size >= self.NATIVE_MIN_SIZE
+            and all(
+                s[0].shape == states[0][0].shape and s[0].dtype == _U32
+                for s in states
+            )
+        ):
+            lib = self._native_lib()
+            if lib is not None:
+                shape = states[0][0].shape
+                n_el = states[0][0].size
+                planes = []
+                for s in states:
+                    planes.extend(np.ascontiguousarray(x) for x in s)
+                outs = [
+                    np.empty(shape, dtype=_U32) for _ in range(self.n * w)
+                ]
+                if self.NAME == "f62":
+                    mvals = np.array(
+                        [int(m_rows[i][j]) % self.P for i in range(w)
+                         for j in range(w)],
+                        dtype=np.uint64,
+                    )
+                    fn = lib.f62_matvec
+                else:
+                    flat = []
+                    for i in range(w):
+                        for j in range(w):
+                            v = int(m_rows[i][j]) % self.P
+                            flat.append(v & ((1 << 64) - 1))
+                            flat.append(v >> 64)
+                    mvals = np.array(flat, dtype=np.uint64)
+                    fn = lib.f128_matvec
+                import ctypes
+
+                fn(
+                    w, self._plane_ptrs(planes),
+                    mvals.ctypes.data_as(ctypes.c_void_p),
+                    self._plane_ptrs(outs), n_el,
+                )
+                return [
+                    tuple(outs[self.n * i + l] for l in range(self.n))
+                    for i in range(w)
+                ]
         p2 = (self.P - 1) ** 2
         outs = []
         for i in range(w):
@@ -589,6 +701,13 @@ class LimbField:
         rev = self._bit_rev(n)
         a = tuple(xp.take(l, rev, axis=-1) for l in a)
         tables = self._stage_twiddles(n, inverse)
+        if xp is np:
+            r = self._ntt_stages_native(a, n, bits, tables)
+            if r is not None:
+                if inverse and scale:
+                    n_inv = self.from_int(pow(n, self.P - 2, self.P))
+                    r = self.mul(r, n_inv)
+                return r
         for s in range(1, bits + 1):
             m = 1 << s
             half = m // 2
@@ -608,6 +727,36 @@ class LimbField:
             n_inv = self.from_int(pow(n, self.P - 2, self.P))
             a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
         return a
+
+    def _ntt_stages_native(self, a, n: int, bits: int, tables):
+        """All butterfly stages through the fused single-pass C kernel;
+        None if unavailable or too small."""
+        lib = self._native_lib()
+        if lib is None or a[0].size < self.NATIVE_MIN_SIZE:
+            return None
+        shape = a[0].shape
+        cur = [np.ascontiguousarray(x).reshape(-1) for x in a]
+        nxt = [np.empty_like(x) for x in cur]
+        total = cur[0].size
+        for s in range(1, bits + 1):
+            tw = [np.ascontiguousarray(t) for t in tables[s - 1]]
+            if self.NAME == "f62":
+                import ctypes
+
+                pv = ctypes.c_void_p
+                lib.f62_ntt_stage(
+                    cur[0].ctypes.data_as(pv), cur[1].ctypes.data_as(pv),
+                    tw[0].ctypes.data_as(pv), tw[1].ctypes.data_as(pv),
+                    nxt[0].ctypes.data_as(pv), nxt[1].ctypes.data_as(pv),
+                    total, 1 << s,
+                )
+            else:
+                lib.f128_ntt_stage(
+                    self._plane_ptrs(cur), self._plane_ptrs(tw),
+                    self._plane_ptrs(nxt), total, 1 << s,
+                )
+            cur, nxt = nxt, cur
+        return tuple(x.reshape(shape) for x in cur)
 
     def evaluate_poly_with_offset(self, a, domain_offset: int, blowup: int):
         """Coset LDE: scale coeffs by offset^j, zero-pad, transform.  Above

@@ -98,3 +98,58 @@ def test_matvec_deferred_reduction_exact():
         for gi, gw in zip(got_j, got):
             for a, b in zip(gi, gw):
                 np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_native_limb_kernels_match_numpy_paths():
+    """limb_mod.c mul / NTT stages / matvec == the numpy formulations they
+    replace, at native-engaging sizes."""
+    import pytest
+
+    from starkpack_winterfell_tpu.ops.limb_field import F62, F128
+
+    rng = np.random.default_rng(31)
+    for field in (F62, F128):
+        if field._native_lib() is None:
+            pytest.skip("no C compiler for the native tier")
+        for sa, sb in [((1 << 13,), (1 << 13,)), ((4, 1 << 12), (1 << 12,)),
+                       ((1 << 13,), (1,))]:
+            na, nb = int(np.prod(sa)), int(np.prod(sb))
+            av = [int(x) % field.P
+                  for x in rng.integers(0, 1 << 63, size=na, dtype=np.uint64)]
+            bv = [int(x) % field.P
+                  for x in rng.integers(0, 1 << 63, size=nb, dtype=np.uint64)]
+            a = tuple(l.reshape(sa) for l in field.from_ints(av))
+            b = tuple(l.reshape(sb) for l in field.from_ints(bv))
+            got = field.to_ints(field.mul(a, b))
+            want = [(av[i] * bv[i % nb]) % field.P for i in range(na)]
+            assert [int(x) for x in got] == want
+        v = [int(x) % field.P
+             for x in rng.integers(0, 1 << 63, size=4 * 1024, dtype=np.uint64)]
+        a = tuple(l.reshape(4, 1024) for l in field.from_ints(v))
+        for inverse in (False, True):
+            got = field.ntt(a, inverse=inverse)
+            lib = field._native_cached
+            field._native_cached = None
+            try:
+                want = field.ntt(a, inverse=inverse)
+            finally:
+                field._native_cached = lib
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+        w = 12
+        m = [[int(x) for x in rng.integers(0, 1 << 63, size=w, dtype=np.uint64)]
+             for _ in range(w)]
+        vals = [int(x) % field.P
+                for x in rng.integers(0, 1 << 63, size=w * 4096, dtype=np.uint64)]
+        arr = tuple(l.reshape(w, 4096) for l in field.from_ints(vals))
+        states = [tuple(l[j] for l in arr) for j in range(w)]
+        got = field.matvec(states, m)
+        lib = field._native_cached
+        field._native_cached = None
+        try:
+            want = field.matvec(states, m)
+        finally:
+            field._native_cached = lib
+        for gi, wi in zip(got, want):
+            for g, x in zip(gi, wi):
+                np.testing.assert_array_equal(g, x)
