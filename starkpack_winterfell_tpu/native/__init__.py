@@ -44,7 +44,7 @@ def _build(name: str, src: str, extra=()):
 def get_blake3():
     """ctypes handle for b3_compress_batch, or None if unavailable."""
     if "b3" not in _CACHE:
-        lib = _build("starkb3", "blake3_compress.c")
+        lib = _build("starkb3", "blake3_compress.c", extra=("-fopenmp",))
         if lib is not None:
             lib.b3_compress_batch.argtypes = [
                 ctypes.c_void_p,  # cv (k x 8 u32)
@@ -65,6 +65,11 @@ def get_blake3():
                 ctypes.c_void_p,
             ]
             lib.b3_hash_bytes_many.restype = None
+            lib.b3_hash_rows_strided.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+                ctypes.c_uint64, ctypes.c_void_p,
+            ]
+            lib.b3_hash_rows_strided.restype = None
         _CACHE["b3"] = lib
     return _CACHE["b3"]
 
@@ -192,6 +197,8 @@ def get_gl64mod():
             lib.gl_syndiv.restype = None
             lib.gl_batchinv.argtypes = [p, p, p, p, sz]
             lib.gl_batchinv.restype = None
+            lib.gl_gather.argtypes = [p, p, p, p, p, sz, sz]
+            lib.gl_gather.restype = None
         _CACHE["gl64"] = lib
     return _CACHE["gl64"]
 

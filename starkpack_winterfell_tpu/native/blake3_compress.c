@@ -52,6 +52,7 @@ static const uint32_t IV[8] = {0x6A09E667u, 0xBB67AE85u, 0x3C6EF372u,
 void b3_compress_batch(const uint32_t *cv, const uint32_t *blocks,
                        uint64_t counter, uint32_t block_len, uint32_t flags,
                        size_t k, uint32_t *out) {
+#pragma omp parallel for schedule(static) if (k >= 1024)
     for (size_t row = 0; row < k; ++row) {
         const uint32_t *c = cv + row * 8;
         const uint32_t *b = blocks + row * 16;
@@ -163,6 +164,16 @@ void b3_hash_bytes(const uint8_t *data, uint64_t len, uint32_t *out) {
 /* k equal-length messages, rows of n bytes -> k x 8 u32 digests */
 void b3_hash_bytes_many(const uint8_t *data, uint64_t n, uint64_t k,
                         uint32_t *out) {
+#pragma omp parallel for schedule(static) if (k >= 1024)
     for (uint64_t i = 0; i < k; ++i)
         b3_hash_bytes(data + i * n, n, out + i * 8);
+}
+
+/* rows with a stride (bytes) larger than the hashed length: lets callers
+ * hash u32-word rows in place without materializing a packed copy */
+void b3_hash_rows_strided(const uint8_t *data, uint64_t stride, uint64_t n,
+                          uint64_t k, uint32_t *out) {
+#pragma omp parallel for schedule(static) if (k >= 1024)
+    for (uint64_t i = 0; i < k; ++i)
+        b3_hash_bytes(data + i * stride, n, out + i * 8);
 }

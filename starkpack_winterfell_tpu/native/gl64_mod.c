@@ -134,6 +134,22 @@ void gl_batchinv(const uint32_t *alo, const uint32_t *ahi, uint32_t *rlo,
     }
 }
 
+/* Last-axis gather: out[r, j] = x[r, idx[j]] — the NTT bit-reversal
+ * permute (numpy's take on a 64 MB plane runs single-threaded at <1 GB/s;
+ * this is the same access pattern with all cores). */
+void gl_gather(const uint32_t *xlo, const uint32_t *xhi, const int32_t *idx,
+               uint32_t *olo, uint32_t *ohi, size_t rows, size_t n) {
+#pragma omp parallel for schedule(static)
+    for (size_t r = 0; r < rows; r++) {
+        size_t base = r * n;
+        for (size_t j = 0; j < n; j++) {
+            size_t src = base + (size_t)idx[j];
+            olo[base + j] = xlo[src];
+            ohi[base + j] = xhi[src];
+        }
+    }
+}
+
 /* Fixed small exponent, single pass (the AIR-side x^7 / x^3 chains). */
 void gl_expmod(const uint32_t *alo, const uint32_t *ahi, uint64_t e,
                uint32_t *rlo, uint32_t *rhi, size_t n) {
@@ -198,6 +214,31 @@ void gl_ntt_stage(const uint32_t *xlo, const uint32_t *xhi,
  * state/out are arrays of 2*w plane pointers: lo0, hi0, lo1, hi1, ... */
 void gl_matvec(size_t w, const uint32_t **state, const uint64_t *m,
                uint32_t **out, size_t n) {
+    /* small-constant matrices (Rescue's circulant MDS has entries < 2^5)
+     * accumulate raw 64x32-bit products in a u128 — w*2^96 < 2^128 for
+     * w <= 16 — and reduce ONCE per output */
+    int small = 1;
+    for (size_t i = 0; i < w * w; i++)
+        if (m[i] >> 32) { small = 0; break; }
+    if (small) {
+#pragma omp parallel for schedule(static)
+        for (size_t k = 0; k < n; k++) {
+            uint64_t s[16];
+            for (size_t j = 0; j < w; j++)
+                s[j] = (uint64_t)state[2 * j][k] |
+                       ((uint64_t)state[2 * j + 1][k] << 32);
+            for (size_t i = 0; i < w; i++) {
+                unsigned __int128 acc = 0;
+                const uint64_t *row = m + i * w;
+                for (size_t j = 0; j < w; j++)
+                    acc += (unsigned __int128)s[j] * row[j];
+                uint64_t v = gl_reduce128(acc);
+                out[2 * i][k] = (uint32_t)v;
+                out[2 * i + 1][k] = (uint32_t)(v >> 32);
+            }
+        }
+        return;
+    }
 #pragma omp parallel for schedule(static)
     for (size_t k = 0; k < n; k++) {
         uint64_t s[16];

@@ -169,23 +169,18 @@ def hash_words(words, byte_len: int, xp=None):
     # numpy compress orchestration below for host-sized batches)
     if isinstance(words, np.ndarray) and words.ndim == 2 and xp is None:
         lib = _native_lib()
-        if lib is not None and hasattr(lib, "b3_hash_bytes_many"):
+        if lib is not None and hasattr(lib, "b3_hash_rows_strided"):
             import ctypes
 
             k = words.shape[0]
             raw = np.ascontiguousarray(words.astype("<u4"))
             row_bytes = raw.shape[1] * 4
-            buf = raw.tobytes()
-            if byte_len == row_bytes:
-                data = buf
-            else:
-                data = b"".join(
-                    buf[i * row_bytes : i * row_bytes + byte_len]
-                    for i in range(k)
-                )
             out = np.zeros((k, 8), dtype=np.uint32)
-            lib.b3_hash_bytes_many(
-                data, byte_len, k, out.ctypes.data_as(ctypes.c_void_p)
+            # strided kernel hashes byte_len of each row_bytes-wide row in
+            # place — no packed copy of the (possibly GB-scale) row matrix
+            lib.b3_hash_rows_strided(
+                raw.ctypes.data_as(ctypes.c_void_p), row_bytes, byte_len,
+                k, out.ctypes.data_as(ctypes.c_void_p),
             )
             return out.astype(_U32)
     """Hash rows given as a (..., W) u32 array holding ``byte_len`` bytes of

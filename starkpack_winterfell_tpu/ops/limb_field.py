@@ -699,15 +699,15 @@ class LimbField:
             return a
         bits = n.bit_length() - 1
         rev = self._bit_rev(n)
-        a = tuple(xp.take(l, rev, axis=-1) for l in a)
         tables = self._stage_twiddles(n, inverse)
         if xp is np:
-            r = self._ntt_stages_native(a, n, bits, tables)
+            r = self._ntt_stages_native(a, n, bits, tables, rev)
             if r is not None:
                 if inverse and scale:
                     n_inv = self.from_int(pow(n, self.P - 2, self.P))
                     r = self.mul(r, n_inv)
                 return r
+        a = tuple(xp.take(l, rev, axis=-1) for l in a)
         for s in range(1, bits + 1):
             m = 1 << s
             half = m // 2
@@ -728,16 +728,33 @@ class LimbField:
             a = self.mul(a, tuple(xp.asarray(x) for x in n_inv))
         return a
 
-    def _ntt_stages_native(self, a, n: int, bits: int, tables):
-        """All butterfly stages through the fused single-pass C kernel;
-        None if unavailable or too small."""
+    def _ntt_stages_native(self, a, n: int, bits: int, tables, rev):
+        """Bit-reversal gather + all butterfly stages through the fused
+        single-pass C kernels; None if unavailable or too small."""
         lib = self._native_lib()
         if lib is None or a[0].size < self.NATIVE_MIN_SIZE:
             return None
+        import ctypes
+
+        from ..native import get_gl64mod
+
         shape = a[0].shape
-        cur = [np.ascontiguousarray(x).reshape(-1) for x in a]
+        src = [np.ascontiguousarray(x).reshape(-1) for x in a]
+        total = src[0].size
+        glib = get_gl64mod()  # gl_gather is a field-agnostic plane permute
+        if glib is None:
+            return None
+        rev = np.ascontiguousarray(np.asarray(rev, dtype=np.int32))
+        cur = [np.empty_like(x) for x in src]
+        pv = ctypes.c_void_p
+        for k in range(0, len(src), 2):
+            glib.gl_gather(
+                src[k].ctypes.data_as(pv), src[k + 1].ctypes.data_as(pv),
+                rev.ctypes.data_as(pv),
+                cur[k].ctypes.data_as(pv), cur[k + 1].ctypes.data_as(pv),
+                total // n, n,
+            )
         nxt = [np.empty_like(x) for x in cur]
-        total = cur[0].size
         for s in range(1, bits + 1):
             tw = [np.ascontiguousarray(t) for t in tables[s - 1]]
             if self.NAME == "f62":

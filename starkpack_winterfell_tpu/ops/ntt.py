@@ -118,15 +118,16 @@ def ntt_components(comps, inverse: bool = False, scale: bool = True, consts=None
     bits = n.bit_length() - 1
 
     rev, tables = consts if consts is not None else (_bit_rev_perm(n), _stage_twiddles(n, inverse))
-    comps = tuple((xp.take(lo, rev, axis=-1), xp.take(hi, rev, axis=-1)) for lo, hi in comps)
 
     if xp is np:
-        r = _ntt_stages_native(comps, n, bits, tables)
+        r = _ntt_stages_native(comps, n, bits, tables, rev)
         if r is not None:
             if inverse and scale:
                 n_inv = pow(n, gl.P - 2, gl.P)
                 r = tuple(_scale_const(c, n_inv, xp) for c in r)
             return r
+
+    comps = tuple((xp.take(lo, rev, axis=-1), xp.take(hi, rev, axis=-1)) for lo, hi in comps)
 
     for s in range(1, bits + 1):
         m = 1 << s
@@ -163,10 +164,11 @@ def _scale_const(c, k: int, xp):
     return gl.mul(c, kc)
 
 
-def _ntt_stages_native(comps, n: int, bits: int, tables):
-    """All butterfly stages through the fused single-pass C kernel
-    (native/gl64_mod.c gl_ntt_stage) — one read + one write of the array
-    per stage instead of ~6 numpy passes.  None if unavailable/small."""
+def _ntt_stages_native(comps, n: int, bits: int, tables, rev):
+    """Bit-reversal gather + all butterfly stages through the fused
+    single-pass C kernels (native/gl64_mod.c gl_gather + gl_ntt_stage) —
+    one read + one write of the array per pass instead of ~6 numpy passes.
+    None if unavailable/small."""
     lib = gl._native_mod()
     if lib is None or n * max(
         int(np.prod(c[0].shape[:-1])) for c in comps
@@ -175,12 +177,21 @@ def _ntt_stages_native(comps, n: int, bits: int, tables):
     import ctypes
 
     p = ctypes.c_void_p
+    rev = np.ascontiguousarray(np.asarray(rev, dtype=np.int32))
     out = []
     for lo, hi in comps:
         shape = lo.shape
-        cur_lo = np.ascontiguousarray(lo).reshape(-1)
-        cur_hi = np.ascontiguousarray(hi).reshape(-1)
-        total = cur_lo.size
+        src_lo = np.ascontiguousarray(lo).reshape(-1)
+        src_hi = np.ascontiguousarray(hi).reshape(-1)
+        total = src_lo.size
+        cur_lo = np.empty_like(src_lo)
+        cur_hi = np.empty_like(src_hi)
+        lib.gl_gather(
+            src_lo.ctypes.data_as(p), src_hi.ctypes.data_as(p),
+            rev.ctypes.data_as(p),
+            cur_lo.ctypes.data_as(p), cur_hi.ctypes.data_as(p),
+            total // n, n,
+        )
         nxt_lo = np.empty_like(cur_lo)
         nxt_hi = np.empty_like(cur_hi)
         for s in range(1, bits + 1):
