@@ -557,20 +557,27 @@ class LimbField:
 
         return limb_kernel.enabled()
 
-    def _tile_cap(self, xp) -> int:
+    def _tile_cap(self, xp, n: int = None) -> int:
         """Largest tile transform for this array backend: the Pallas kernel's
         VMEM budget caps k=4 tiles at 2048 (the XLA path takes 4096); the
         MXU matmul engine targets small dense tiles (the four-step recursion
-        builds any n as a tower of them)."""
+        builds any n as a tower of them).
+
+        The MXU cap only applies to transforms that would four-step under
+        the VPU cap anyway (n > cap): the measured win (.exp/mxu_ab.py) is
+        the tile ENGINE at four-step sizes — towering a transform that fits
+        one VPU tile would regress small/medium configs."""
         from . import mxu_ntt
 
-        if mxu_ntt.enabled(xp):
-            return mxu_ntt.SPLIT_CAP
         if self._pallas_on(xp):
             from .pallas import limb_kernel
 
-            return min(self.MAX_NTT_TILE, limb_kernel.max_tile(self))
-        return self.MAX_NTT_TILE
+            cap = min(self.MAX_NTT_TILE, limb_kernel.max_tile(self))
+        else:
+            cap = self.MAX_NTT_TILE
+        if mxu_ntt.enabled(xp) and (n is None or n > cap):
+            return mxu_ntt.SPLIT_CAP
+        return cap
 
     def _use_pallas_tile(self, a, n: int) -> bool:
         if not self._pallas_on(_xp(a[0])):
@@ -643,7 +650,7 @@ class LimbField:
         power-series input scaling s^t factors through the tile split, so
         coset offsets never materialize length-n tables."""
         n = a[0].shape[-1]
-        r, c = self._split_tiles(n, self._tile_cap(xp))
+        r, c = self._split_tiles(n, self._tile_cap(xp, n))
         bits = n.bit_length() - 1
         root = self.get_root_of_unity(bits)
         if inverse:
@@ -675,7 +682,7 @@ class LimbField:
         n = a[0].shape[-1]
         if n == 1:
             return a
-        if n > self._tile_cap(xp):
+        if n > self._tile_cap(xp, n):
             a = self._ntt_four_step(a, inverse, xp)
             if inverse and scale:
                 n_inv = self.from_int(pow(n, self.P - 2, self.P))
@@ -784,7 +791,7 @@ class LimbField:
         xp = _xp(a[0])
         n = a[0].shape[-1]
         L = n * blowup
-        if L > self._tile_cap(xp):
+        if L > self._tile_cap(xp, L):
             return self._lde_cosets(a, domain_offset, blowup, xp)
         offs = self.from_ints(
             [pow(domain_offset, j, self.P) for j in range(n)]
@@ -808,10 +815,10 @@ class LimbField:
             (domain_offset * pow(g_L, r, self.P)) % self.P
             for r in range(blowup)
         ]
-        if n > self._tile_cap(xp):
+        if n > self._tile_cap(xp, n):
             # split with the SAME cap _ntt_four_step will use, or the
             # pre_row/pre_col table shapes won't match its tile view
-            r_t, c_t = self._split_tiles(n, self._tile_cap(xp))
+            r_t, c_t = self._split_tiles(n, self._tile_cap(xp, n))
             # s^t = (s^c)^{t1} * s^{t2} across the (r_t, c_t) tile view
             row_b = self.from_ints([pow(s, c_t, self.P) for s in s_list])
             col_b = self.from_ints(s_list)

@@ -59,15 +59,26 @@ MIN_BATCH = 128
 # this size (self-recursion handles any n as a tower of MAX_TILE levels).
 SPLIT_CAP = 256
 
-# None = auto (off everywhere until measured on real hardware — flip to
-# backend-gated once a TPU A/B exists); tests set True/False explicitly.
+# None = auto: ON for the TPU backend, OFF on CPU (same gate as the Pallas
+# kernels).  Measured on a v5e chip (2026-08-18, .exp/mxu_ab.py): f128
+# 2^16x8 interpolate+LDE 47 -> 35 ms (x1.35) vs the VPU radix-2 tiles.
+# Tests set True/False explicitly for bit-exactness differentials.
 ENABLED = None
 
 
 def enabled(xp) -> bool:
     if ENABLED is not None:
         return ENABLED
-    return False
+    if xp is np:
+        return False
+    try:
+        import jax
+
+        # the axon remote-TPU plugin registers under its own platform name;
+        # gate on "anything but cpu" (the MXU cost model is TPU-only)
+        return jax.default_backend() != "cpu"
+    except Exception:  # backend init failure — stay on the XLA path
+        return False
 
 
 def _xp_of(x):
