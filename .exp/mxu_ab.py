@@ -54,12 +54,21 @@ def run_case(field, log_n, width, enabled, iters=4):
     print(f"{field.NAME} n=2^{log_n} w={width} mxu={enabled}: "
           f"compile {tc:.1f}s steady {dt*1000:.0f} ms "
           f"({bf/dt/1e9:.2f}e9 bf/s)", flush=True)
-    return dt
+    # exactness ON THE CHIP, not just the CPU differentials: a TPU-specific
+    # lowering/accumulation bug would silently change proof bytes
+    return dt, out
 
 
 SMOKE = bool(os.environ.get("SMOKE"))
 CASES = ((lf.F128, 13, 2),) if SMOKE else ((lf.F128, 16, 8), (lf.F62, 16, 8))
 for field, log_n, width in CASES:
-    off = run_case(field, log_n, width, False, iters=1 if SMOKE else 4)
-    on = run_case(field, log_n, width, True, iters=1 if SMOKE else 4)
-    print(f"==> {field.NAME}: MXU speedup x{off/on:.2f}", flush=True)
+    off, out_off = run_case(field, log_n, width, False, iters=1 if SMOKE else 4)
+    on, out_on = run_case(field, log_n, width, True, iters=1 if SMOKE else 4)
+    import jax.numpy as jnp
+
+    # compare on device: pulling the full LDE over the tunnel is slow
+    eq = jax.jit(lambda xs, ys: jnp.all(
+        jnp.stack([jnp.all(x == y) for x, y in zip(xs, ys)])))
+    assert bool(np.asarray(eq(out_off, out_on))), "MXU != VPU output!"
+    print(f"==> {field.NAME}: MXU speedup x{off/on:.2f} (outputs EQUAL)",
+          flush=True)

@@ -81,12 +81,21 @@ def ones(shape, xp=np):
 # 64-bit primitives on u32 pairs
 # ---------------------------------------------------------------------------
 
+# Every primitive below relies on wrapping u32 arithmetic; on host numpy the
+# SCALAR (0-d) path emits RuntimeWarning("overflow encountered ...") for the
+# intentional wraparound, which would drown out a *real* overflow bug
+# elsewhere.  Decorate with errstate so only these wraparound helpers are
+# silenced (harmless under jax tracing: it only flips numpy's error flags).
+_wrapping = np.errstate(over="ignore")
 
+
+@_wrapping
 def _carry(s, a, xp):
     """Carry-out of u32 add s = a + b (wrapping)."""
     return (s < a).astype(_U32)
 
 
+@_wrapping
 def _add64(alo, ahi, blo, bhi, xp):
     rlo = alo + blo
     cl = (rlo < alo).astype(_U32)
@@ -97,6 +106,7 @@ def _add64(alo, ahi, blo, bhi, xp):
     return rlo, rhi, c1 | c2
 
 
+@_wrapping
 def _sub64(alo, ahi, blo, bhi, xp):
     rlo = alo - blo
     bl = (alo < blo).astype(_U32)
@@ -107,6 +117,7 @@ def _sub64(alo, ahi, blo, bhi, xp):
     return rlo, rhi, b1 | b2
 
 
+@_wrapping
 def _mul32(a, b, xp):
     """Full 32x32 -> 64 product as (lo, hi) u32 pair via 16-bit partials."""
     a0 = a & MASK16
@@ -127,6 +138,7 @@ def _mul32(a, b, xp):
     return t2, hi
 
 
+@_wrapping
 def _mul64_full(alo, ahi, blo, bhi, xp):
     """64x64 -> 128 product as four u32 limbs (c0..c3, little-endian)."""
     l0, h0 = _mul32(alo, blo, xp)
@@ -151,6 +163,7 @@ def _mul64_full(alo, ahi, blo, bhi, xp):
     return c0, c1, c2, c3
 
 
+@_wrapping
 def _reduce128(c0, c1, c2, c3, xp):
     """Reduce c3*2^96 + c2*2^64 + c1*2^32 + c0 mod p, canonical output.
 
@@ -169,6 +182,7 @@ def _reduce128(c0, c1, c2, c3, xp):
     return _canon(slo, shi, xp)
 
 
+@_wrapping
 def _canon(lo, hi, xp):
     """Map a value in [0, 2^64) to canonical [0, p) (single conditional sub)."""
     ge = (hi == _U32(EPS)) & (lo >= _U32(1))

@@ -29,6 +29,12 @@ def _xp(x):
     return jnp
 
 
+# wrapping-u32 helpers: silence numpy's intentional-overflow warnings on
+# the host scalar path (see ops/gl64.py `_wrapping`)
+_wrapping = np.errstate(over="ignore")
+
+
+@_wrapping
 def _mul32(a, b):
     """32x32 -> (lo, hi) u32 (same as gl64._mul32).  On host numpy the
     product is one native u64 multiply; the 16-bit split below is for the
@@ -56,6 +62,7 @@ def _mul32(a, b):
     return t2, hi
 
 
+@_wrapping
 def _add_limbs(a, b, xp):
     """Add limb lists (unequal lengths ok); returns n+1 limbs."""
     n = max(len(a), len(b))
@@ -82,6 +89,7 @@ def _add_limbs(a, b, xp):
     return out
 
 
+@_wrapping
 def _sub_limbs(a, b, xp):
     """a - b (same length), returns (limbs, borrow_u32)."""
     n = len(a)
@@ -102,6 +110,16 @@ def _sub_limbs(a, b, xp):
     return out, borrow
 
 
+
+def _leading_batch(a) -> int:
+    """Product of every axis but the last of a limb tuple (tile batch)."""
+    b = 1
+    for d in a[0].shape[:-1]:
+        b *= int(d)
+    return b
+
+
+@_wrapping
 def _mul_limbs(a, b, xp):
     """Schoolbook product of limb lists -> len(a)+len(b) limbs."""
     na, nb = len(a), len(b)
@@ -557,7 +575,7 @@ class LimbField:
 
         return limb_kernel.enabled()
 
-    def _tile_cap(self, xp, n: int = None) -> int:
+    def _tile_cap(self, xp, n: int = None, batch: int = None) -> int:
         """Largest tile transform for this array backend: the Pallas kernel's
         VMEM budget caps k=4 tiles at 2048 (the XLA path takes 4096); the
         MXU matmul engine targets small dense tiles (the four-step recursion
@@ -566,7 +584,11 @@ class LimbField:
         The MXU cap only applies to transforms that would four-step under
         the VPU cap anyway (n > cap): the measured win (.exp/mxu_ab.py) is
         the tile ENGINE at four-step sizes — towering a transform that fits
-        one VPU tile would regress small/medium configs."""
+        one VPU tile would regress small/medium configs.  And it only
+        applies when the resulting tile batch (>= batch * n / SPLIT_CAP)
+        can actually fill the MXU lanes (mirrors _use_mxu_tile's MIN_BATCH)
+        — a narrow-batch split would fail the tile gate and fall to tiny
+        plain-XLA radix-2 transforms instead of the larger VPU tiles."""
         from . import mxu_ntt
 
         if self._pallas_on(xp):
@@ -576,7 +598,12 @@ class LimbField:
         else:
             cap = self.MAX_NTT_TILE
         if mxu_ntt.enabled(xp) and (n is None or n > cap):
-            return mxu_ntt.SPLIT_CAP
+            if (
+                batch is None
+                or n is None
+                or batch * (n // mxu_ntt.SPLIT_CAP) >= mxu_ntt.MIN_BATCH
+            ):
+                return mxu_ntt.SPLIT_CAP
         return cap
 
     def _use_pallas_tile(self, a, n: int) -> bool:
@@ -650,7 +677,9 @@ class LimbField:
         power-series input scaling s^t factors through the tile split, so
         coset offsets never materialize length-n tables."""
         n = a[0].shape[-1]
-        r, c = self._split_tiles(n, self._tile_cap(xp, n))
+        r, c = self._split_tiles(
+            n, self._tile_cap(xp, n, batch=_leading_batch(a))
+        )
         bits = n.bit_length() - 1
         root = self.get_root_of_unity(bits)
         if inverse:
@@ -682,7 +711,7 @@ class LimbField:
         n = a[0].shape[-1]
         if n == 1:
             return a
-        if n > self._tile_cap(xp, n):
+        if n > self._tile_cap(xp, n, batch=_leading_batch(a)):
             a = self._ntt_four_step(a, inverse, xp)
             if inverse and scale:
                 n_inv = self.from_int(pow(n, self.P - 2, self.P))
@@ -791,7 +820,7 @@ class LimbField:
         xp = _xp(a[0])
         n = a[0].shape[-1]
         L = n * blowup
-        if L > self._tile_cap(xp, L):
+        if L > self._tile_cap(xp, L, batch=_leading_batch(a)):
             return self._lde_cosets(a, domain_offset, blowup, xp)
         offs = self.from_ints(
             [pow(domain_offset, j, self.P) for j in range(n)]
@@ -815,10 +844,12 @@ class LimbField:
             (domain_offset * pow(g_L, r, self.P)) % self.P
             for r in range(blowup)
         ]
-        if n > self._tile_cap(xp, n):
-            # split with the SAME cap _ntt_four_step will use, or the
-            # pre_row/pre_col table shapes won't match its tile view
-            r_t, c_t = self._split_tiles(n, self._tile_cap(xp, n))
+        cap = self._tile_cap(xp, n, batch=blowup * _leading_batch(a))
+        if n > cap:
+            # split with the SAME cap _ntt_four_step will use (its input
+            # carries the leading blowup axis, so its batch matches), or
+            # the pre_row/pre_col table shapes won't match its tile view
+            r_t, c_t = self._split_tiles(n, cap)
             # s^t = (s^c)^{t1} * s^{t2} across the (r_t, c_t) tile view
             row_b = self.from_ints([pow(s, c_t, self.P) for s in s_list])
             col_b = self.from_ints(s_list)

@@ -74,9 +74,10 @@ def enabled(xp) -> bool:
     try:
         import jax
 
-        # the axon remote-TPU plugin registers under its own platform name;
-        # gate on "anything but cpu" (the MXU cost model is TPU-only)
-        return jax.default_backend() != "cpu"
+        # explicit allowlist: the int8-MXU cost model and exactness were
+        # measured on TPU only ("axon" = the remote-TPU plugin's platform
+        # name); any other accelerator stays on the XLA radix-2 path
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # backend init failure — stay on the XLA path
         return False
 

@@ -52,9 +52,9 @@ def enabled() -> bool:
     import jax
 
     try:
-        # the axon remote-TPU plugin may register under its own platform
-        # name, so gate on "anything but cpu" (Mosaic is TPU-only here)
-        return jax.default_backend() != "cpu"
+        # explicit allowlist ("axon" = the remote-TPU plugin's platform
+        # name): Mosaic kernels are TPU-only
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # backend init failure — stay on the XLA path
         return False
 
