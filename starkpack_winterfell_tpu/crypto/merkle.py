@@ -198,6 +198,9 @@ class BatchMerkleProof:
         """proofs.rs:135-268 — resolves the aggregated paths to a root."""
         if not indexes:
             raise ValueError("too few indexes")
+        root = self._native_root(indexes)
+        if root is not None:
+            return root
         index_map = _map_indexes(indexes, self.depth)
         norm = _normalize_indexes(indexes)
         if len(norm) != len(self.nodes):
@@ -277,6 +280,54 @@ class BatchMerkleProof:
             raise ValueError("invalid proof")
         return root
 
+    def _native_root(self, indexes):
+        """One-call C path for BLAKE3 hashers (bit-identical bookkeeping —
+        native/blake3_compress.c b3_batch_root); None = use the python
+        path (other hashers, or no compiler)."""
+        if getattr(self.h, "NAME", None) not in ("blake3_256", "blake3_192"):
+            return None
+        if len(indexes) > 4096 or len(self.nodes) > 4096:
+            return None  # B3_MAX_BATCH; protocol caps are far lower
+        try:
+            from ..native import get_blake3
+
+            lib = get_blake3()
+        except Exception:
+            return None
+        if lib is None or not hasattr(lib, "b3_batch_root"):
+            return None
+        import ctypes
+
+        import numpy as np
+
+        D = self.h.DIGEST_BYTES
+        leaves = b"".join(self.leaves)
+        if len(leaves) != D * len(self.leaves):
+            raise ValueError("invalid proof: bad leaf digest size")
+        idx = np.asarray(list(indexes), dtype=np.uint64)
+        node_data = b"".join(d for vec in self.nodes for d in vec)
+        counts = np.asarray([len(v) for v in self.nodes], dtype=np.int32)
+        if any(
+            len(d) != D for vec in self.nodes for d in vec
+        ):
+            raise ValueError("invalid proof: bad node digest size")
+        out = ctypes.create_string_buffer(D)
+        rc = lib.b3_batch_root(
+            leaves,
+            len(self.leaves),
+            idx.ctypes.data_as(ctypes.c_void_p),
+            len(idx),
+            node_data,
+            counts.ctypes.data_as(ctypes.c_void_p),
+            len(counts),
+            self.depth,
+            D,
+            out,
+        )
+        if rc != 0:
+            raise ValueError(f"invalid proof (native check {rc})")
+        return out.raw
+
     # -- serialization (proofs.rs:425-500) ----------------------------------
 
     def serialize_nodes(self) -> bytes:
@@ -298,9 +349,11 @@ class BatchMerkleProof:
             raise ValueError("invalid number of leaves")
         num_node_vectors = reader.read_u8()
         nodes = []
+        D = hasher.DIGEST_BYTES
         for _ in range(num_node_vectors):
             num_digests = reader.read_u8()
-            nodes.append([reader.read_bytes(hasher.DIGEST_BYTES) for _ in range(num_digests)])
+            blob = reader.read_bytes(num_digests * D)
+            nodes.append([blob[i * D : (i + 1) * D] for i in range(num_digests)])
         return cls(leaves, nodes, depth, hasher)
 
 

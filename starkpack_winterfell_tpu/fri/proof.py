@@ -45,11 +45,28 @@ class FriProofLayer:
         if num_queries == 0:
             raise ValueError("a FRI layer must contain at least one query")
         r = SliceReader(self.values)
+        # one slab decode for all queries (canonicity checked inside), then
+        # regroup into per-position rows
+        flat = r.read_felts(
+            num_queries * folding_factor, ext_deg, field.P, field.ELEMENT_BYTES
+        )
         rows = [
-            r.read_felts(folding_factor, ext_deg, field.P, field.ELEMENT_BYTES)
-            for _ in range(num_queries)
+            flat[i * folding_factor : (i + 1) * folding_factor]
+            for i in range(num_queries)
         ]
-        if field.ELEMENT_BYTES == 8:
+        if getattr(hasher, "NAME", None) in ("blake3_256", "blake3_192"):
+            # hash_elements of canonical elements == BLAKE3 of their LE
+            # bytes, which is exactly this layer's value-byte rows
+            from ..ops import blake3 as b3
+
+            hashed = b3.hash_bytes_many(
+                [
+                    self.values[i * num_query_bytes : (i + 1) * num_query_bytes]
+                    for i in range(num_queries)
+                ],
+                out_len=hasher.DIGEST_BYTES,
+            )
+        elif field.ELEMENT_BYTES == 8:
             from ..utils.convert import hash_element_rows
 
             hashed = hash_element_rows(hasher, rows, ext_deg)

@@ -70,6 +70,19 @@ def get_blake3():
                 ctypes.c_uint64, ctypes.c_void_p,
             ]
             lib.b3_hash_rows_strided.restype = None
+            lib.b3_batch_root.argtypes = [
+                ctypes.c_char_p,  # leaves (n_leaves x D bytes)
+                ctypes.c_int64,   # n_leaves
+                ctypes.c_void_p,  # indexes (u64)
+                ctypes.c_int64,   # n_idx
+                ctypes.c_char_p,  # node_data
+                ctypes.c_void_p,  # node_counts (i32)
+                ctypes.c_int64,   # n_vec
+                ctypes.c_int32,   # depth
+                ctypes.c_int32,   # digest bytes
+                ctypes.c_void_p,  # out_root (D bytes)
+            ]
+            lib.b3_batch_root.restype = ctypes.c_int
         _CACHE["b3"] = lib
     return _CACHE["b3"]
 

@@ -177,3 +177,161 @@ void b3_hash_rows_strided(const uint8_t *data, uint64_t stride, uint64_t n,
     for (uint64_t i = 0; i < k; ++i)
         b3_hash_bytes(data + i * stride, n, out + i * 8);
 }
+
+/* ---- batch Merkle-proof root (Octopus aggregated paths) ------------------ */
+/* Native tier for crypto/merkle.py BatchMerkleProof.get_root — bit-for-bit
+ * the same bookkeeping as the python (itself mirroring the reference's
+ * proofs.rs:135-268), with merges done inline.  Digest = first D bytes of
+ * BLAKE3-256 (D = 32 or 24).  Returns 0 and writes out_root on success;
+ * nonzero on any structural invalidity (caller maps to "invalid proof").
+ *
+ * leaves:      n_leaves x D bytes, ordered like the original indexes
+ * indexes:     n_idx original query leaf positions
+ * node_data:   concatenated node digests across vectors (D bytes each)
+ * node_counts: digests per vector (n_vec entries)
+ */
+#define B3_MAX_BATCH 4096
+
+static void b3_merge_digests(const uint8_t *a, const uint8_t *b, int D,
+                             uint8_t *out) {
+    uint8_t buf[64];
+    uint32_t o[8];
+    for (int i = 0; i < D; ++i) buf[i] = a[i];
+    for (int i = 0; i < D; ++i) buf[D + i] = b[i];
+    b3_hash_bytes(buf, (uint64_t)(2 * D), o);
+    for (int i = 0; i < D; ++i) out[i] = ((uint8_t *)o)[i];
+}
+
+int b3_batch_root(const uint8_t *leaves, int64_t n_leaves,
+                  const uint64_t *indexes, int64_t n_idx,
+                  const uint8_t *node_data, const int32_t *node_counts,
+                  int64_t n_vec, int32_t depth, int32_t D,
+                  uint8_t *out_root) {
+    if (n_idx <= 0 || n_idx > B3_MAX_BATCH || n_vec > B3_MAX_BATCH ||
+        depth <= 0 || depth >= 63 || (D != 32 && D != 24))
+        return 1;
+    uint64_t num_leaves = 1ull << depth;
+
+    /* index_map: sorted (index, slot) pairs, rejecting dups/out-of-range */
+    uint64_t map_idx[B3_MAX_BATCH];
+    int32_t map_slot[B3_MAX_BATCH];
+    int64_t map_n = 0;
+    for (int64_t i = 0; i < n_idx; ++i) {
+        uint64_t idx = indexes[i];
+        if (idx >= num_leaves) return 2;
+        int64_t lo = 0, hi = map_n;
+        while (lo < hi) {
+            int64_t mid = (lo + hi) / 2;
+            if (map_idx[mid] < idx) lo = mid + 1; else hi = mid;
+        }
+        if (lo < map_n && map_idx[lo] == idx) return 3; /* duplicate */
+        for (int64_t j = map_n; j > lo; --j) {
+            map_idx[j] = map_idx[j - 1];
+            map_slot[j] = map_slot[j - 1];
+        }
+        map_idx[lo] = idx;
+        map_slot[lo] = (int32_t)i;
+        map_n++;
+    }
+    if (map_n != n_leaves) return 4;
+
+    /* norm: sorted unique (idx & ~1) — map_idx is sorted already */
+    uint64_t norm[B3_MAX_BATCH];
+    int64_t norm_n = 0;
+    for (int64_t i = 0; i < map_n; ++i) {
+        uint64_t e = map_idx[i] & ~1ull;
+        if (norm_n == 0 || norm[norm_n - 1] != e) norm[norm_n++] = e;
+    }
+    if (norm_n != n_vec) return 5;
+
+    /* node vector offsets (in digests) */
+    int64_t node_off[B3_MAX_BATCH + 1];
+    node_off[0] = 0;
+    for (int64_t i = 0; i < n_vec; ++i) {
+        if (node_counts[i] < 0) return 6;
+        node_off[i + 1] = node_off[i] + node_counts[i];
+    }
+
+    int32_t proof_ptr[B3_MAX_BATCH];
+    uint64_t cur_idx[B3_MAX_BATCH];
+    uint8_t cur_dig[B3_MAX_BATCH * 32];
+    uint64_t nxt_idx[B3_MAX_BATCH];
+    uint8_t nxt_dig[B3_MAX_BATCH * 32];
+
+    /* level 0: resolve leaf pairs */
+    uint64_t offset = 1ull << depth;
+    for (int64_t i = 0; i < norm_n; ++i) {
+        uint64_t index = norm[i];
+        const uint8_t *buf0, *buf1;
+        /* lookup helpers */
+        int64_t s0 = -1, s1 = -1;
+        {
+            int64_t lo = 0, hi = map_n;
+            while (lo < hi) { int64_t mid = (lo + hi) / 2;
+                if (map_idx[mid] < index) lo = mid + 1; else hi = mid; }
+            if (lo < map_n && map_idx[lo] == index) s0 = map_slot[lo];
+            if (lo < map_n && map_idx[lo] == index + 1) s1 = map_slot[lo];
+            else if (lo + 1 < map_n && map_idx[lo + 1] == index + 1)
+                s1 = map_slot[lo + 1];
+        }
+        if (s0 >= 0) {
+            buf0 = leaves + (int64_t)s0 * D;
+            if (s1 >= 0) {
+                buf1 = leaves + (int64_t)s1 * D;
+                proof_ptr[i] = 0;
+            } else {
+                if (node_counts[i] < 1) return 7;
+                buf1 = node_data + node_off[i] * D;
+                proof_ptr[i] = 1;
+            }
+        } else {
+            if (node_counts[i] < 1) return 8;
+            buf0 = node_data + node_off[i] * D;
+            if (s1 < 0) return 9;
+            buf1 = leaves + (int64_t)s1 * D;
+            proof_ptr[i] = 1;
+        }
+        b3_merge_digests(buf0, buf1, D, cur_dig + i * 32);
+        cur_idx[i] = (offset + index) >> 1;
+    }
+    int64_t cur_n = norm_n;
+
+    /* upper levels */
+    for (int32_t lvl = 1; lvl < depth; ++lvl) {
+        int64_t out_n = 0;
+        int64_t i = 0;
+        while (i < cur_n) {
+            uint64_t node_index = cur_idx[i];
+            uint64_t sibling_index = node_index ^ 1ull;
+            const uint8_t *sibling;
+            const uint8_t *node = cur_dig + i * 32;
+            if (i + 1 < cur_n && cur_idx[i + 1] == sibling_index) {
+                sibling = cur_dig + (i + 1) * 32;
+                /* order: python merges (node, sibling) with node even */
+                b3_merge_digests(node, sibling, D, nxt_dig + out_n * 32);
+                i += 2;
+            } else {
+                int32_t ptr = proof_ptr[i];
+                if (i >= n_vec || ptr >= node_counts[i]) return 10;
+                sibling = node_data + (node_off[i] + ptr) * D;
+                proof_ptr[i] = ptr + 1;
+                if (node_index & 1ull)
+                    b3_merge_digests(sibling, node, D, nxt_dig + out_n * 32);
+                else
+                    b3_merge_digests(node, sibling, D, nxt_dig + out_n * 32);
+                i += 1;
+            }
+            nxt_idx[out_n] = node_index >> 1;
+            out_n++;
+        }
+        for (int64_t j = 0; j < out_n; ++j) {
+            cur_idx[j] = nxt_idx[j];
+            for (int k = 0; k < 32; ++k) cur_dig[j * 32 + k] = nxt_dig[j * 32 + k];
+        }
+        cur_n = out_n;
+    }
+
+    if (cur_n != 1 || cur_idx[0] != 1ull) return 11;
+    for (int i = 0; i < D; ++i) out_root[i] = cur_dig[i];
+    return 0;
+}

@@ -343,8 +343,7 @@ def hash_bytes_many(datas, out_len: int = 32):
 
 
 def digest_to_bytes(d) -> bytes:
-    arr = np.asarray(d, dtype=np.uint32)
-    return b"".join(int(w).to_bytes(4, "little") for w in arr.reshape(-1))
+    return np.asarray(d, dtype=np.uint32).astype("<u4").tobytes()
 
 
 def digest_from_bytes(b: bytes) -> np.ndarray:

@@ -214,7 +214,7 @@ def _xp2(x, y):
 
 _NATIVE_MOD = None
 _NATIVE_MOD_TRIED = False
-NATIVE_MIN_SIZE = 1 << 12
+NATIVE_MIN_SIZE = 64  # C call overhead ~10 us beats the ~30-pass numpy formulation (~200 us) at any non-scalar size
 
 
 def _native_mod():

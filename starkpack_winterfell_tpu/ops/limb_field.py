@@ -267,7 +267,7 @@ class LimbField:
 
     # -- native host kernels (limb_mod.c) ------------------------------------
 
-    NATIVE_MIN_SIZE = 1 << 12
+    NATIVE_MIN_SIZE = 64  # see ops/gl64.py: native wins at any non-scalar size
 
     def _native_lib(self):
         if self.NAME not in ("f62", "f128"):
