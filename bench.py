@@ -17,6 +17,19 @@ import json
 import os
 import time
 
+# One canonical XLA_FLAGS baseline across every entry point (bench, tests,
+# .exp scripts, __graft_entry__): XLA_FLAGS is hashed into the persistent
+# compilation-cache key, so a flag mismatch silently re-pays the multi-minute
+# remote compile of every proving kernel (measured: same graph, flag vs no
+# flag = full recompile).  The flag itself is the XLA:CPU fusion-emitter
+# workaround (see CLAUDE.md); it is a no-op for TPU binaries but must still
+# match for cache hits.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_use_fusion_emitters" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_use_fusion_emitters=false"
+    ).strip()
+
 REFERENCE_RESCUE20_S = 50.0  # 8-core CPU, /root/reference/README.md:393-403
 BASELINE_BUTTERFLIES_PER_S = 1.0e8
 

@@ -15,6 +15,19 @@ def _spec(field):
     return field
 
 
+def _evaluate_at_cached(field, numerator, exemptions, x, _cache={}):
+    key = (field.name, numerator, exemptions, x)
+    hit = _cache.get(key)
+    if hit is None:
+        hit = _cache[key] = ConstraintDivisor(
+            list(numerator), list(exemptions), field
+        )._evaluate_at(x)
+        if len(_cache) > 4096:  # z changes per proof; keep the map bounded
+            _cache.clear()
+            _cache[key] = hit
+    return hit
+
+
 class ConstraintDivisor:
     def __init__(self, numerator, exemptions, field=None):
         self.numerator = list(numerator)  # [(degree, constant int)]
@@ -47,6 +60,17 @@ class ConstraintDivisor:
         return sum(d for d, _ in self.numerator) - len(self.exemptions)
 
     def evaluate_at(self, x):
+        o = self.field
+        if isinstance(x, (int, tuple)):
+            # the verifier evaluates every instance's divisors at the SAME
+            # z; same-shape instances share divisors, so memoize (the fdiv
+            # is a full Fermat inverse per call otherwise)
+            return _evaluate_at_cached(
+                o, tuple(self.numerator), tuple(self.exemptions), x
+            )
+        return self._evaluate_at(x)
+
+    def _evaluate_at(self, x):
         o = self.field
         num = o.one(o.deg_of(x)) if not isinstance(x, int) else 1
         for degree, constant in self.numerator:

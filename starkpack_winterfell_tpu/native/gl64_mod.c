@@ -45,7 +45,7 @@ static inline void wr(uint32_t *lo, uint32_t *hi, size_t i, uint64_t v) {
 void gl_mulmod(const uint32_t *alo, const uint32_t *ahi, const uint32_t *blo,
                const uint32_t *bhi, uint32_t *rlo, uint32_t *rhi, size_t n,
                size_t nb) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t i = 0; i < n; i++) {
         uint64_t a = rd(alo, ahi, i);
         uint64_t b = rd(blo, bhi, i % nb);
@@ -56,7 +56,7 @@ void gl_mulmod(const uint32_t *alo, const uint32_t *ahi, const uint32_t *blo,
 void gl_addmod(const uint32_t *alo, const uint32_t *ahi, const uint32_t *blo,
                const uint32_t *bhi, uint32_t *rlo, uint32_t *rhi, size_t n,
                size_t nb) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t i = 0; i < n; i++) {
         uint64_t a = rd(alo, ahi, i);
         uint64_t b = rd(blo, bhi, i % nb);
@@ -70,7 +70,7 @@ void gl_addmod(const uint32_t *alo, const uint32_t *ahi, const uint32_t *blo,
 void gl_submod(const uint32_t *alo, const uint32_t *ahi, const uint32_t *blo,
                const uint32_t *bhi, uint32_t *rlo, uint32_t *rhi, size_t n,
                size_t nb) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t i = 0; i < n; i++) {
         uint64_t a = rd(alo, ahi, i);
         uint64_t b = rd(blo, bhi, i % nb);
@@ -85,7 +85,7 @@ void gl_submod(const uint32_t *alo, const uint32_t *ahi, const uint32_t *blo,
  * parallel over rows.  out[i] = sum_{j>i} p[j] z^(j-i-1); out[n-1] = 0. */
 void gl_syndiv(const uint32_t *plo, const uint32_t *phi, uint64_t z,
                uint32_t *olo, uint32_t *ohi, size_t rows, size_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (rows * n >= 16384)
     for (size_t r = 0; r < rows; r++) {
         size_t base = r * n;
         uint64_t acc = 0;
@@ -139,7 +139,7 @@ void gl_batchinv(const uint32_t *alo, const uint32_t *ahi, uint32_t *rlo,
  * this is the same access pattern with all cores). */
 void gl_gather(const uint32_t *xlo, const uint32_t *xhi, const int32_t *idx,
                uint32_t *olo, uint32_t *ohi, size_t rows, size_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (rows * n >= 16384)
     for (size_t r = 0; r < rows; r++) {
         size_t base = r * n;
         for (size_t j = 0; j < n; j++) {
@@ -153,7 +153,7 @@ void gl_gather(const uint32_t *xlo, const uint32_t *xhi, const int32_t *idx,
 /* Fixed small exponent, single pass (the AIR-side x^7 / x^3 chains). */
 void gl_expmod(const uint32_t *alo, const uint32_t *ahi, uint64_t e,
                uint32_t *rlo, uint32_t *rhi, size_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t i = 0; i < n; i++) {
         uint64_t a = rd(alo, ahi, i);
         uint64_t base = a, acc = 0;
@@ -188,7 +188,7 @@ void gl_ntt_stage(const uint32_t *xlo, const uint32_t *xhi,
                   uint32_t *ohi, size_t n, size_t m) {
     size_t half = m / 2;
     size_t rows = n / m;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (rows * n >= 16384)
     for (size_t r = 0; r < rows; r++) {
         size_t base = r * m;
         for (size_t j = 0; j < half; j++) {
@@ -221,7 +221,7 @@ void gl_matvec(size_t w, const uint32_t **state, const uint64_t *m,
     for (size_t i = 0; i < w * w; i++)
         if (m[i] >> 32) { small = 0; break; }
     if (small) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
         for (size_t k = 0; k < n; k++) {
             uint64_t s[16];
             for (size_t j = 0; j < w; j++)
@@ -239,7 +239,7 @@ void gl_matvec(size_t w, const uint32_t **state, const uint64_t *m,
         }
         return;
     }
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t k = 0; k < n; k++) {
         uint64_t s[16];
         for (size_t j = 0; j < w; j++)

@@ -39,7 +39,7 @@ static inline void wr62(u32 *lo, u32 *hi, size_t i, u64 v) {
 
 void f62_mulmod(const u32 *alo, const u32 *ahi, const u32 *blo,
                 const u32 *bhi, u32 *rlo, u32 *rhi, size_t n, size_t nb) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t i = 0; i < n; i++) {
         u64 a = rd62(alo, ahi, i), b = rd62(blo, bhi, i % nb);
         wr62(rlo, rhi, i, f62_reduce((u128)a * b));
@@ -49,7 +49,7 @@ void f62_mulmod(const u32 *alo, const u32 *ahi, const u32 *blo,
 void f62_ntt_stage(const u32 *xlo, const u32 *xhi, const u32 *twlo,
                    const u32 *twhi, u32 *olo, u32 *ohi, size_t n, size_t m) {
     size_t half = m / 2, rows = n / m;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (rows * n >= 16384)
     for (size_t r = 0; r < rows; r++) {
         size_t base = r * m;
         for (size_t j = 0; j < half; j++) {
@@ -69,7 +69,7 @@ void f62_ntt_stage(const u32 *xlo, const u32 *xhi, const u32 *twlo,
 /* m entries are u64 (< p); state/out are plane-pointer arrays lo0, hi0, ... */
 void f62_matvec(size_t w, const u32 **state, const u64 *m, u32 **out,
                 size_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t k = 0; k < n; k++) {
         u64 s[16];
         for (size_t j = 0; j < w; j++)
@@ -136,7 +136,7 @@ static inline void wr128(u32 *const *pl, size_t i, u128 v) {
 }
 
 void f128_mulmod(const u32 **a, const u32 **b, u32 **r, size_t n, size_t nb) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t i = 0; i < n; i++)
         wr128((u32 *const *)r, i,
               f128_mul(rd128(a, i), rd128(b, i % nb)));
@@ -146,7 +146,7 @@ void f128_ntt_stage(const u32 **x, const u32 **tw, u32 **o, size_t n,
                     size_t m) {
     const u128 P = p128();
     size_t half = m / 2, rows = n / m;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (rows * n >= 16384)
     for (size_t r = 0; r < rows; r++) {
         size_t base = r * m;
         for (size_t j = 0; j < half; j++) {
@@ -167,7 +167,7 @@ void f128_ntt_stage(const u32 **x, const u32 **tw, u32 **o, size_t n,
 /* m entries are u64 PAIRS (lo, hi) per element, row-major w*w */
 void f128_matvec(size_t w, const u32 **state, const u64 *m, u32 **out,
                  size_t n) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) if (n >= 16384)
     for (size_t k = 0; k < n; k++) {
         u128 s[16];
         for (size_t j = 0; j < w; j++) s[j] = rd128(state + 4 * j, k);

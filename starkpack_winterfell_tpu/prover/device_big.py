@@ -456,8 +456,23 @@ def deep_kernel_big(n, w, L, offset, ext_deg, num_cols):
 
 def prove_big(prover, n, traces):
     """Gather-free device prove — same transcript/bytes as the host
-    pipeline (pipeline.py), validated by tests/test_device_prover.py."""
+    pipeline (pipeline.py), validated by tests/test_device_prover.py.
+
+    Phase timers mirror the host pipeline's (lib.rs:239-263 format); each
+    phase ends at a Fiat-Shamir channel interaction that forces a host
+    sync (root bytes / OOD values), so the walls are real phase costs."""
+    import logging
+    import time as _time
+
     import jax.numpy as jnp  # noqa: F401
+
+    _logger = logging.getLogger("starkpack_winterfell_tpu.prover.device")
+    _t0 = _time.perf_counter()
+
+    def _phase(msg):
+        nonlocal _t0
+        _logger.debug("%s in %.0f ms", msg, (_time.perf_counter() - _t0) * 1e3)
+        _t0 = _time.perf_counter()
 
     from ..crypto.merkle import MerkleTree
     from .channel import ProverChannel
@@ -491,6 +506,7 @@ def prove_big(prover, n, traces):
     pc1, lde, levels = k1(seg)
     main_tree = MerkleTree(levels, hasher)
     channel.commit_trace(main_tree.root())
+    _phase("P1 trace interpolate+LDE+commit")
 
     # ---- Phase 2+3 ----
     t_coeffs_list, b_coeffs_list = [], []
@@ -520,6 +536,7 @@ def prove_big(prover, n, traces):
     )
     constraint_tree = MerkleTree(clevels, hasher)
     channel.commit_constraints(constraint_tree.root())
+    _phase("P2+3 constraint eval+composition+commit")
 
     # ---- Phase 4: OOD + DEEP ----
     num_cols = airs[0].context.num_constraint_composition_columns()
@@ -548,6 +565,7 @@ def prove_big(prover, n, traces):
     channel.send_ood_trace_states(ood_traces_states)
     ood_evaluations = [_elem_from(hz_h[:, j], ext_deg) for j in range(num_cols)]
     channel.send_ood_constraint_evaluations(ood_evaluations)
+    _phase("P4 OOD")
 
     cc = channel.get_deep_composition_coeffs()
     cc_traces = _stack_scalars(cc.traces, ext_deg)  # (n, w)
@@ -561,9 +579,13 @@ def prove_big(prover, n, traces):
     fri_layers, remainder_elements = run_fri_phase(
         channel, deep_evals, options, domain, ext_deg, hasher
     )
+    _phase("P5+6 DEEP+FRI")
     channel.grind_query_seed()
     positions = channel.get_query_positions()
-    return assemble_proof(
+    _phase("P7 PoW+positions")
+    out = assemble_proof(
         channel, positions, lde, comp_lde, main_tree, constraint_tree,
         fri_layers, remainder_elements, options, domain, n, ext_deg
     )
+    _phase("P8 queries+assembly")
+    return out
