@@ -107,7 +107,20 @@ def build_chain_trace(seed, num_permutations: int, device=None) -> TraceTable:
     (trace_table.rs:230-243).  Long chains therefore use the native C
     builder (native/builders.cpp, bit-identical, ~300x the Python loop);
     a ``lax.scan`` accelerator build (`device=True`) is kept as the
-    no-compiler fallback."""
+    no-compiler fallback.
+
+    Long traces also get a DEVICE EXPANDER (TraceTable.set_device_builder):
+    device provers upload only every 8th row (the permutation inputs) and
+    recreate the 7 in-between round rows on device — the tunneled TPU moves
+    ~10-20 MB/s, so shipping 1/8th of the trace and re-deriving the rest
+    with data-parallel rounds cuts the dominant proving phase."""
+    trace = _build_chain_trace_host(seed, num_permutations, device)
+    if trace.length >= (1 << 14):
+        _attach_device_expander(trace)
+    return trace
+
+
+def _build_chain_trace_host(seed, num_permutations: int, device=None) -> TraceTable:
     native = _build_chain_trace_native(seed, num_permutations)
     if native is not None:
         return native
@@ -211,6 +224,76 @@ def _build_chain_trace_scan(seed, num_permutations: int) -> TraceTable:
     out = _SCAN_CACHE[key](s0)
     cols = gl.to_u64((np.asarray(out[0]), np.asarray(out[1]))).T.copy()
     return TraceTable.from_u64_columns(cols)
+
+
+_EXPAND_CACHE = {}
+
+
+def _attach_device_expander(trace: TraceTable):
+    """See build_chain_trace: upload the (width, length/8) permutation-input
+    rows, expand rounds 1..7 per cycle on device (bit-identical gl64 math —
+    differential-tested in tests/test_models.py)."""
+
+    def build():
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops import gl64 as gl
+
+        cols = trace.main_columns_u64()  # (12, L) u64 host
+        length = cols.shape[1]
+        n_cycles = length // CYCLE_LENGTH
+        bounds = np.ascontiguousarray(cols[:, ::CYCLE_LENGTH])  # (12, C)
+        pair = gl.from_u64(bounds)
+
+        key = (STATE_WIDTH, n_cycles)
+        if key not in _EXPAND_CACHE:
+            # rounds MUST be rolled (lax.scan): 7 unrolled rounds of chained
+            # gl.muls hit the known XLA:CPU deep-limb-chain compile runaway
+            # (CLAUDE.md) — the rolled body compiles once
+            ark1 = gl.from_u64(np.asarray(ARK1, dtype=np.uint64))  # (7, 12)
+            ark2 = gl.from_u64(np.asarray(ARK2, dtype=np.uint64))
+
+            def round_body(carry, arks):
+                lo, hi = carry  # (12, C)
+                a1lo, a1hi, a2lo, a2hi = arks  # (12,)
+                state = [(lo[i], hi[i]) for i in range(STATE_WIDTH)]
+                state = [gl.exp7(x) for x in state]
+                state = gl.mds_circulant(state, _rescue.MDS_ROW0)
+                state = [
+                    gl.add(x, (a1lo[i], a1hi[i]))
+                    for i, x in enumerate(state)
+                ]
+                state = [gl.exp_int(x, _rescue.INV_ALPHA) for x in state]
+                state = gl.mds_circulant(state, _rescue.MDS_ROW0)
+                state = [
+                    gl.add(x, (a2lo[i], a2hi[i]))
+                    for i, x in enumerate(state)
+                ]
+                nlo = jnp.stack([x[0] for x in state])
+                nhi = jnp.stack([x[1] for x in state])
+                return (nlo, nhi), (nlo, nhi)
+
+            def expand(lo, hi):
+                arks = (jnp.asarray(ark1[0]), jnp.asarray(ark1[1]),
+                        jnp.asarray(ark2[0]), jnp.asarray(ark2[1]))
+                _, ys = jax.lax.scan(round_body, (lo, hi), arks)
+                out = []
+                for plane, first in ((0, lo), (1, hi)):
+                    rows = jnp.concatenate(
+                        [first[None], ys[plane]], axis=0
+                    )  # (8, 12, C)
+                    out.append(
+                        jnp.transpose(rows, (1, 2, 0)).reshape(
+                            STATE_WIDTH, n_cycles * CYCLE_LENGTH
+                        )
+                    )
+                return out[0], out[1]
+
+            _EXPAND_CACHE[key] = jax.jit(expand)
+        return _EXPAND_CACHE[key](*pair)
+
+    trace.set_device_builder(build)
 
 
 def _round_ints(state, r):

@@ -500,8 +500,15 @@ def prove_big(prover, n, traces):
     offset = domain.domain_offset
 
     # ---- Phase 1 ----
-    stacked = np.stack([t.main_columns_u64() for t in traces])  # (n, w, len)
-    seg = _to_dev((gl.from_u64(stacked),))
+    built = [t.device_planes() for t in traces]
+    if all(b is not None for b in built):
+        # device-built planes (TraceTable.set_device_builder): only the
+        # trace skeleton crossed the ~10-20 MB/s tunnel
+        seg = ((jnp.stack([b[0] for b in built]),
+                jnp.stack([b[1] for b in built])),)
+    else:
+        stacked = np.stack([t.main_columns_u64() for t in traces])  # (n, w, len)
+        seg = _to_dev((gl.from_u64(stacked),))
     k1 = trace_commit_big(n, w, length, blowup, offset, hasher)
     pc1, lde, levels = k1(seg)
     main_tree = MerkleTree(levels, hasher)

@@ -133,6 +133,29 @@ class TraceTable:
         assert self.field == "f64"
         return self._columns
 
+    # -- device-resident trace planes ----------------------------------------
+    # The tunneled TPU moves ~10-20 MB/s, so uploading a full trace (100 MB
+    # at rescue 2^20) dominates the proof.  Models whose traces expand from
+    # a small skeleton (chain boundary states, signature bits) attach a
+    # builder that recreates the full planes ON DEVICE bit-identically; the
+    # device provers then upload only the skeleton.
+
+    def set_device_builder(self, fn):
+        """fn() -> (lo, hi) device uint32 arrays shaped (width, length),
+        bit-identical to main_segment_limbs (f64 only)."""
+        self._device_builder = fn
+        self._device_planes = None
+
+    def device_planes(self):
+        """Device (lo, hi) planes via the attached builder, memoized; None
+        if no builder is attached (caller uploads the host columns)."""
+        fn = getattr(self, "_device_builder", None)
+        if fn is None:
+            return None
+        if getattr(self, "_device_planes", None) is None:
+            self._device_planes = fn()
+        return self._device_planes
+
     def num_aux_segments(self) -> int:
         return 0
 

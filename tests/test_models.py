@@ -266,3 +266,18 @@ def test_rescue_chain_scan_builder_matches_host():
     th = build_chain_trace([3, 1, 4, 1, 5, 9, 2, 6], 64, device=False)
     td = build_chain_trace([3, 1, 4, 1, 5, 9, 2, 6], 64, device=True)
     assert np.array_equal(th._columns, td._columns)
+
+
+def test_rescue_chain_device_expander_bit_exact():
+    """The device trace expander (upload 1/8th, re-derive rounds on device)
+    must reproduce the host-built trace planes bit-for-bit."""
+    import numpy as np
+
+    from starkpack_winterfell_tpu.models.rescue_chain import build_chain_trace
+
+    trace = build_chain_trace([7] * 8, (1 << 14) // 8)
+    built = trace.device_planes()
+    assert built is not None, "expander not attached at length 2^14"
+    host = trace.main_segment_limbs()[0]
+    np.testing.assert_array_equal(np.asarray(built[0]), np.asarray(host[0]))
+    np.testing.assert_array_equal(np.asarray(built[1]), np.asarray(host[1]))
