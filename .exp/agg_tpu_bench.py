@@ -17,6 +17,15 @@ faulthandler.dump_traceback_later(3500, exit=True)
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
+if os.environ.get("PHASES"):
+    import logging
+
+    logging.basicConfig(
+        level=logging.DEBUG,
+        format="%(relativeCreated)8.0f ms %(name)s: %(message)s",
+    )
+    logging.getLogger("jax").setLevel(logging.WARNING)
+
 from starkpack_winterfell_tpu import verify
 from starkpack_winterfell_tpu.air.options import FieldExtension, ProofOptions
 from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
