@@ -79,6 +79,12 @@ class MerkleTree:
         """Gather every digest ``prove_batch(indexes)`` will touch, one
         batched device gather per level (keeps device->host traffic at
         O(q log n) digests instead of the whole tree)."""
+        per_level = self._prefetch_plan(indexes)
+        return self._prefetch_finish(per_level)
+
+    def _prefetch_plan(self, indexes):
+        """Per-level digest indexes prove_batch(indexes) will touch and
+        that are not yet in the fetch cache."""
         need = [set() for _ in range(len(self.levels))]
         norm = _normalize_indexes(indexes)
         for index in norm:
@@ -102,13 +108,22 @@ class MerkleTree:
         for level, idxs in enumerate(need):
             idxs = sorted(i for i in idxs if (level, i) not in self._fetch_cache)
             per_level.append(idxs)
+        return per_level
+
+    def _fill_fetch_cache(self, per_level, rows_per_level):
+        for level, (idxs, rows) in enumerate(zip(per_level, rows_per_level)):
+            for i, row in zip(idxs, rows):
+                self._fetch_cache[(level, i)] = self.h.digest_to_bytes(row)
+
+    def _prefetch_finish(self, per_level):
         if isinstance(self.levels[0], np.ndarray):
             for level, idxs in enumerate(per_level):
                 if not idxs:
                     continue
-                gathered = self.levels[level][np.array(idxs)]
-                for i, row in zip(idxs, gathered):
-                    self._fetch_cache[(level, i)] = self.h.digest_to_bytes(row)
+                self._fill_fetch_cache(
+                    [[] for _ in range(level)] + [idxs],
+                    [[] for _ in range(level)] + [self.levels[level][np.array(idxs)]],
+                )
             return
         # device levels: a per-level eager gather + pull costs one tunnel
         # round trip (and, with per-proof index counts, a fresh remote
@@ -141,12 +156,72 @@ class MerkleTree:
             for idxs in per_level
         )
         stacked = np.asarray(fn(tuple(self.levels), idx_arrs))
-        for level, idxs in enumerate(per_level):
-            rows = stacked[level * bucket : level * bucket + len(idxs)]
-            for i, row in zip(idxs, rows):
-                self._fetch_cache[(level, i)] = self.h.digest_to_bytes(row)
+        self._fill_fetch_cache(
+            per_level,
+            [stacked[level * bucket : level * bucket + len(idxs)]
+             for level, idxs in enumerate(per_level)],
+        )
 
     # -- batched proofs (merkle/mod.rs:222-284) -----------------------------
+
+    @staticmethod
+    def prefetch_trees(tree_indexes):
+        """[(tree, indexes), ...] — every device tree's prove_batch prefetch
+        in ONE combined jitted gather + ONE transfer (each tree alone costs
+        a tunnel round trip; proof assembly touches 7+ trees)."""
+        plans = []
+        for t, idx in tree_indexes:
+            if isinstance(t.levels[0], np.ndarray):
+                t.prefetch_batch(idx)
+            else:
+                plan = t._prefetch_plan(idx)
+                if any(plan):
+                    plans.append((t, plan))
+        if not plans:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        buckets = [
+            max(8, 1 << (max(len(i) for i in plan) - 1).bit_length())
+            for _, plan in plans
+        ]
+        key = tuple(
+            (len(t.levels), b, tuple(t.levels[0].shape))
+            for (t, _), b in zip(plans, buckets)
+        )
+        fn = _GATHER_KERNELS.get(("multi", key))
+        if fn is None:
+
+            def gather(all_levels, all_idx):
+                outs = []
+                for levels, idx_arrs in zip(all_levels, all_idx):
+                    outs.append(jnp.concatenate(
+                        [lvl[ix] for lvl, ix in zip(levels, idx_arrs)], axis=0
+                    ))
+                return jnp.concatenate(outs, axis=0)
+
+            fn = jax.jit(gather)
+            _GATHER_KERNELS[("multi", key)] = fn
+        all_levels = tuple(tuple(t.levels) for t, _ in plans)
+        all_idx = tuple(
+            tuple(
+                jnp.asarray(np.pad(np.asarray(idxs, dtype=np.int32),
+                                   (0, bucket - len(idxs))))
+                for idxs in plan
+            )
+            for (_, plan), bucket in zip(plans, buckets)
+        )
+        stacked = np.asarray(fn(all_levels, all_idx))
+        o = 0
+        for (t, plan), bucket in zip(plans, buckets):
+            block = stacked[o : o + bucket * len(t.levels)]
+            o += bucket * len(t.levels)
+            t._fill_fetch_cache(
+                plan,
+                [block[level * bucket : level * bucket + len(idxs)]
+                 for level, idxs in enumerate(plan)],
+            )
 
     def prove_batch(self, indexes) -> "BatchMerkleProof":
         assert indexes, "at least one index required"

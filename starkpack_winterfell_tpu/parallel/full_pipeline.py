@@ -788,17 +788,23 @@ def prove_mesh(prover, n: int, traces, mesh):
     aux_rows_dev = [_tmap(lambda a: a[:n], x) for x in aux_rows_list]
 
     def query_rows(positions):
-        main_g = pull_rows(main_rows_n, positions, -1)  # comps (n, w, q)
+        from ..utils.transfer import pull_rows_many
+
+        pulled = pull_rows_many(
+            [(main_rows_n, positions, -1)]
+            + [(ar, positions, -1) for ar in aux_rows_dev]
+            + [(comp_lde_rows, positions, -1)]
+        )  # one dispatch + transfer for main/aux/composition rows
+        main_g = pulled[0]  # comps (n, w, q)
         main_ldes_q = [
             tuple(tuple(l[i] for l in c) for c in main_g) for i in range(n)
         ]
         aux_list = []
-        for ar in aux_rows_dev:
-            g = pull_rows(ar, positions, -1)
+        for g in pulled[1:-1]:
             aux_list.append(
                 [tuple(tuple(l[i] for l in c) for c in g) for i in range(n)]
             )
-        comp_g = pull_rows(comp_lde_rows, positions, -1)
+        comp_g = pulled[-1]
         return main_ldes_q, aux_list, comp_g
 
     _mark("device->host materialization for the query/tail phase")

@@ -609,22 +609,41 @@ def assemble_proof(channel, positions, lde, comp_lde, main_tree, constraint_tree
     N = fri_options.folding_factor
     L = domain.lde_size
 
-    proof_layers = []
+    # positions per layer are pure host math: plan every gather up front so
+    # all tree prefetches ride ONE dispatch and all row pulls another (each
+    # separate pull is a ~100 ms tunnel round trip)
+    from ..crypto.merkle import MerkleTree
+    from ..utils.transfer import pull_rows_many
+
+    layer_pos = []
     pos = list(positions)
     dsize = L
-    for transposed_dev, tree in fri_layers:
+    for _transposed_dev, _tree in fri_layers:
         pos = fold_positions(pos, dsize, N)
+        layer_pos.append(pos)
+        dsize //= N
+    MerkleTree.prefetch_trees(
+        [(tree, lp) for (_, tree), lp in zip(fri_layers, layer_pos)]
+        + [(main_tree, positions), (constraint_tree, positions)]
+    )
+    pulled = pull_rows_many(
+        [(t, lp, 0) for (t, _), lp in zip(fri_layers, layer_pos)]
+        + [(lde, positions, 2), (comp_lde, positions, 1)]
+    )
+
+    proof_layers = []
+    for (transposed_dev, tree), pos, gathered in zip(
+        fri_layers, layer_pos, pulled
+    ):
         mp = tree.prove_batch(pos)
-        gathered = _pull_rows(transposed_dev, pos, 0)
         rows = []
         for i in range(len(pos)):
             row_limbs = tuple((c[0][i], c[1][i]) for c in gathered)
             rows.append(limbs_to_elems(row_limbs, ext_deg))
         proof_layers.append(FriProofLayer.new(rows, mp, ext_deg))
-        dsize //= N
     fri_proof = FriProof.new(proof_layers, remainder_elements, 1)
 
-    main_rows = _pull_rows(lde, positions, 2)  # (n, w, q)
+    main_rows = pulled[-2]  # (n, w, q)
     traces_states = []
     for i in range(n):
         rows = []
@@ -642,7 +661,7 @@ def assemble_proof(channel, positions, lde, comp_lde, main_tree, constraint_tree
         JointTraceQueries.new(main_tree.prove_batch(positions), comb_states, traces_states)
     ]
 
-    comp_rows = _pull_rows(comp_lde, positions, 1)  # (num_cols, q)
+    comp_rows = pulled[-1]  # (num_cols, q)
     crows = []
     for qi in range(len(positions)):
         row_limbs = tuple((c[0][:, qi], c[1][:, qi]) for c in comp_rows)

@@ -308,19 +308,43 @@ def constraint_kernel_big(air0, domain, ext_deg, n, hasher, boundary_template):
                     columns.append(acc_g)
 
                 # divisors: chunked inverse tables (vectorized Fermat —
-                # exact, so byte-identical to host Montgomery inversion)
+                # exact, so byte-identical to host Montgomery inversion).
+                # All k per-group denominators invert in ONE Fermat exp via
+                # the Montgomery trick (1 exp + 3(k-1) muls instead of k
+                # exps of ~72 muls each — the exps were ~35% of this
+                # kernel's multiply count).
                 acc_c = vec.vzeros((n, CHUNK), ext_deg, jnp)
                 new_carry = list(carry)
                 ci2 = 1 if need_x else 0
+                dens = []  # (x^a - b) per non-host-table divisor, in order
+                for (a_exp, b_val, exemptions, host_inv), series in zip(
+                    div_static, div_series
+                ):
+                    if host_inv is not None:
+                        continue
+                    xs = gl.mul(series, carry[ci2])
+                    dens.append(gl.sub(xs, _dev_const(b_val, jnp)))
+                    ci2 += 1
+                invs = []
+                if dens:
+                    prefix = [dens[0]]
+                    for d_i in dens[1:]:
+                        prefix.append(gl.mul(prefix[-1], d_i))
+                    inv_all = gl.inv(prefix[-1])
+                    for i in range(len(dens) - 1, 0, -1):
+                        invs.append(gl.mul(inv_all, prefix[i - 1]))
+                        inv_all = gl.mul(inv_all, dens[i])
+                    invs.append(inv_all)
+                    invs.reverse()  # invs[i] == 1 / dens[i]
+                di = 0
                 for (a_exp, b_val, exemptions, host_inv), series in zip(
                     div_static, div_series
                 ):
                     if host_inv is not None:
                         z = series  # already tiled, chunk-invariant
                     else:
-                        xs = gl.mul(series, carry[ci2])
-                        z = gl.inv(gl.sub(xs, _dev_const(b_val, jnp)))
-                        ci2 += 1
+                        z = invs[di]
+                        di += 1
                     for e in exemptions:
                         z = gl.mul(z, gl.sub(x_chunk, _dev_const(e, jnp)))
                     col = columns.pop(0)
