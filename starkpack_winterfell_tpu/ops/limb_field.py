@@ -453,6 +453,17 @@ class LimbField:
                     tuple(outs[self.n * i + l] for l in range(self.n))
                     for i in range(w)
                 ]
+        if xp is not np:
+            from . import mxu_ntt
+
+            batch = 1
+            for dim in states[0][0].shape:
+                batch *= int(dim)
+            if mxu_ntt.enabled(xp) and mxu_ntt.matvec_ok(self, w, batch):
+                # MDS/INV_MDS over a wide CE-domain batch: one int8 MXU
+                # matmul instead of w*w schoolbook limb products (identical
+                # canonical outputs — tests/test_mxu_ntt.py differential)
+                return mxu_ntt.matvec_tile(self, states, m_rows)
         p2 = (self.P - 1) ** 2
         outs = []
         for i in range(w):

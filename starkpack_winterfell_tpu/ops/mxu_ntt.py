@@ -238,3 +238,94 @@ def ntt_tile(field, a, inverse: bool):
     return tuple(
         xp.moveaxis(p, 0, -1).reshape(batch_shape + (m,)) for p in reduced
     )
+
+
+# ---------------------------------------------------------------------------
+# dense field matvec as one int8 matmul (MDS / INV_MDS in constraint eval)
+# ---------------------------------------------------------------------------
+
+# engagement: like the NTT tiles, the matmul needs enough independent
+# positions to fill the MXU lanes; w is the state width (6 for Rescue128)
+MATVEC_MAX_W = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _m_toeplitz_cached(field_key, m_entries):
+    """m_entries: tuple of w tuples of ints.  Block-Toeplitz digit matrix
+    ((2d-1)*w, d*w): A[(k*w + i), (dj*w + j)] = digit (k-dj) of m[i][j], so
+    row block k of A @ Xbig is the k-th base-256 digit plane of
+    out_i = sum_j m[i][j] * x_j (same antidiagonal-collapse layout as the
+    NTT tile's _w_toeplitz_cached)."""
+    from .limb_field import FIELDS_BY_NAME
+
+    field = FIELDS_BY_NAME[field_key]
+    d = digit_count(field.n)
+    w = len(m_entries)
+    digs = np.zeros((d, w, w), dtype=_I8)
+    for i in range(w):
+        for j in range(w):
+            v = int(m_entries[i][j]) % field.P
+            for t, dig in enumerate(_balanced_digits_int(v, d)):
+                digs[t, i, j] = dig
+    out = np.zeros(((2 * d - 1) * w, d * w), dtype=_I8)
+    for k in range(2 * d - 1):
+        for dj in range(max(0, k - d + 1), min(d, k + 1)):
+            out[k * w : (k + 1) * w, dj * w : (dj + 1) * w] = digs[k - dj]
+    return out
+
+
+def matvec_ok(field, w: int, batch: int) -> bool:
+    d = digit_count(field.n)
+    return (
+        w <= MATVEC_MAX_W
+        and batch >= MIN_BATCH
+        and d * w * 128 * 128 < 2**31  # int32-exact accumulation
+    )
+
+
+def matvec_tile(field, states, m_rows):
+    """out_i = sum_j m_rows[i][j] * states[j] via ONE int8 MXU matmul.
+
+    states: list of w limb tuples (arrays of any equal shape); returns w
+    canonical limb tuples — identical values to LimbField.matvec's
+    deferred-reduction path (the MDS/INV_MDS hot pattern of the Rescue128
+    constraint kernels; analog being accelerated:
+    prover/src/constraints/evaluator.rs hot loop)."""
+    xp = _xp_of(states[0][0])
+    w = len(states)
+    shape = states[0][0].shape
+    B = 1
+    for dim in shape:
+        B *= int(dim)
+    d = digit_count(field.n)
+    A = _m_toeplitz_cached(
+        field.NAME, tuple(tuple(int(v) for v in row) for row in m_rows)
+    )
+
+    # Xbig[(dj*w + j), b] = digit dj of states[j][b]
+    Xd = [
+        _decompose_balanced(field, tuple(l.reshape(B) for l in s), xp)
+        for s in states
+    ]  # w entries of (d, B)
+    Xbig = xp.stack(Xd, axis=1).reshape(d * w, B)
+    if xp is np:
+        C = (A.astype(np.int64) @ Xbig.astype(np.int64)).astype(_I32)
+    else:
+        import jax
+
+        C = jax.lax.dot_general(
+            xp.asarray(A),
+            Xbig,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=_I32,
+        )
+    n_digits = 2 * d - 1
+    C = C.reshape(n_digits, w, B)
+    out = []
+    for i in range(w):
+        limbs, bound = _recombine_limbs(
+            field, [C[k, i] for k in range(n_digits)], w, xp
+        )
+        reduced = field._reduce(limbs, xp, bound=bound)
+        out.append(tuple(p.reshape(shape) for p in reduced))
+    return out

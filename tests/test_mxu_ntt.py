@@ -128,3 +128,31 @@ def test_device_prove_with_mxu_tiles_byte_identical(monkeypatch):
     assert dev.to_bytes() == host.to_bytes()
     assert verify(air_cls, dev, [prover.get_pub_inputs(t) for t in traces],
                   Sha3_256)
+
+
+def test_mxu_matvec_tile_matches_deferred():
+    """matvec_tile (int8 MXU matmul) == LimbField.matvec deferred path,
+    canonical outputs, for f128/f62 MDS-like constant matrices."""
+    import numpy as np
+
+    from starkpack_winterfell_tpu.ops import mxu_ntt
+    from starkpack_winterfell_tpu.ops.limb_field import F62, F128
+
+    rng = np.random.default_rng(11)
+    for field, w in ((F128, 6), (F62, 12), (F128, 3)):
+        m_rows = [
+            [int.from_bytes(rng.bytes(16), "little") % field.P
+             for _ in range(w)]
+            for _ in range(w)
+        ]
+        m_rows[0][1] = 0  # exercise a zero entry
+        B = 160
+        states = []
+        for _ in range(w):
+            vals = [int(rng.integers(0, 1 << 62)) % field.P for _ in range(B)]
+            states.append(field.from_ints(vals))
+        expected = field.matvec([list(s) for s in states], m_rows)
+        got = mxu_ntt.matvec_tile(field, states, m_rows)
+        for e, g in zip(expected, got):
+            for el, gl_ in zip(e, g):
+                np.testing.assert_array_equal(np.asarray(el), np.asarray(gl_))
