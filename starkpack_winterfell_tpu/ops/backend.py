@@ -591,6 +591,9 @@ class LimbBackend(FieldBackend):
     def bmul(self, a, b):
         return self.F.mul(a, b)
 
+    def bsquare(self, a):
+        return self.F.square(a)
+
     def binv(self, a):
         return self.F.exp_int(a, self.P - 2)
 

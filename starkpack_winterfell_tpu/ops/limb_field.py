@@ -111,6 +111,47 @@ def _sub_limbs(a, b, xp):
 
 
 
+@_wrapping
+def _sqr_limbs(a, xp):
+    """Squaring specialization of _mul_limbs: n(n-1)/2 cross products
+    (doubled once at the end) + n diagonal squares — 10 vs 16 _mul32 calls
+    for n=4 (traced path; host numpy keeps the native single-pass mul)."""
+    n = len(a)
+    total = 2 * n
+    # cross = sum_{i<j} a_i a_j 2^{32(i+j)}
+    cross = [xp.zeros_like(a[0]) for _ in range(total)]
+    for i in range(n):
+        carry = xp.zeros_like(a[0])
+        for j in range(i + 1, n):
+            lo, hi = _mul32(a[i], a[j])
+            s0 = cross[i + j] + lo
+            c1 = (s0 < lo).astype(_U32)
+            s1 = s0 + carry
+            c2 = (s1 < carry).astype(_U32)
+            cross[i + j] = s1
+            carry = hi + c1 + c2  # hi <= 2^32-2: no overflow
+        k = i + n
+        while True:
+            s0 = cross[k] + carry
+            c = (s0 < carry).astype(_U32)
+            cross[k] = s0
+            carry = c
+            k += 1
+            if k >= total:
+                break
+    # double the cross sum (one add with carries), then add the diagonal
+    doubled = _add_limbs(cross, cross, xp)[:total]
+    out = doubled
+    for i in range(n):
+        lo, hi = _mul32(a[i], a[i])
+        term = [xp.zeros_like(a[0]) for _ in range(total)]
+        term[2 * i] = lo
+        if 2 * i + 1 < total:
+            term[2 * i + 1] = hi
+        out = _add_limbs(out, term, xp)[:total]
+    return out
+
+
 def _leading_batch(a) -> int:
     """Product of every axis but the last of a limb tuple (tile batch)."""
     b = 1
@@ -336,7 +377,11 @@ class LimbField:
         return self._reduce(prod, xp)
 
     def square(self, a):
-        return self.mul(a, a)
+        xp = _xp(a[0])
+        if xp is np:
+            return self.mul(a, a)
+        prod = _sqr_limbs(list(a), xp)
+        return self._reduce(prod, xp)
 
     def _reduce(self, limbs, xp, bound: int = None):
         """Fold limbs beyond n via E = 2^(32n) mod p until the value fits n

@@ -87,9 +87,9 @@ def _per_position_twiddles(field_name: str, n: int, inverse: bool):
 
 
 def _field(name: str):
-    from ..limb_field import F62, F128
+    from ..limb_field import FIELDS_BY_NAME
 
-    return {"f62": F62, "f128": F128}[name]
+    return FIELDS_BY_NAME[name]
 
 
 def _make_kernel(field_name: str, n: int, pre_twiddle: bool):

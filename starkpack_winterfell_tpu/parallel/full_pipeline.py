@@ -460,6 +460,15 @@ def _build_plan(air0, template, domain, ext_deg, B):
         "groups": groups,
         "div_tables": div_tables,
         "periodic_tabs": periodic_tabs,
+        # content key for caching the device residency of the tables: they
+        # are fully determined by the divisor parameters + the AIR's
+        # periodic columns (keyed like the PeriodicValueTable cache)
+        "tables_key": (
+            tuple((tuple(map(tuple, d.numerator)), tuple(d.exemptions))
+                  for d in divisors),
+            type(air0).__qualname__,
+            getattr(air0, "periodic_cache_key", lambda: ())(),
+        ),
         "has_aux": has_aux,
         "w_main": None,
         "w_aux": None,
@@ -684,6 +693,23 @@ def prove_mesh(prover, n: int, traces, mesh):
     fp_stack = _stack_elems(B, [[p] for p in final_powers], ext_deg)
     fp_stack = tuple(tuple(l[:, 0] for l in c) for c in fp_stack)  # (n,)
 
+    # the divisor/periodic tables are per-CONFIG constants over the ce
+    # domain (tens of MB at 2^16+): keep them device-resident across proofs
+    # instead of re-shipping numpy arrays through the ~10-20 MB/s tunnel on
+    # every prove
+    import jax as _jax
+
+    div_dev, per_dev = _cached(
+        ("plantables", mesh, B.spec.name, domain.trace_length,
+         domain.ce_size, ext_deg, plan["tables_key"]),
+        lambda: (
+            [tuple(_jax.device_put(np.asarray(l)) for l in t)
+             for t in plan["div_tables"]],
+            [tuple(_jax.device_put(np.asarray(l)) for l in t)
+             for t in plan["periodic_tabs"]],
+        ),
+    )
+
     k2 = _cached(
         ("cons", mesh, B.spec.name, type(airs[0]).__qualname__,
          domain.trace_length, domain.ce_size, ext_deg, n, w,
@@ -697,7 +723,7 @@ def prove_mesh(prover, n: int, traces, mesh):
     )
     final_comb_dev = k2(
         main_rows_n, aux_rows_n, t_main, t_aux, singles, seqs, ccs,
-        aux_rand_stacks, fp_stack, plan["div_tables"], plan["periodic_tabs"],
+        aux_rand_stacks, fp_stack, div_dev, per_dev,
     )
     _mark("P2/P5 sharded constraint evaluation")
 

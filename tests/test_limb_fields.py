@@ -153,3 +153,23 @@ def test_native_limb_kernels_match_numpy_paths():
         for gi, wi in zip(got, want):
             for g, x in zip(gi, wi):
                 np.testing.assert_array_equal(g, x)
+
+
+def test_square_specialization_matches_mul():
+    """LimbField.square's traced cross+diagonal formulation == mul(a, a)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starkpack_winterfell_tpu.ops.limb_field import F62, F128
+
+    rng = np.random.default_rng(17)
+    for field in (F62, F128):
+        vals = [int.from_bytes(rng.bytes(16), "little") % field.P
+                for _ in range(257)]
+        a = field.from_ints(vals)
+        aj = tuple(jnp.asarray(x) for x in a)
+        sq = jax.jit(field.square)(aj)
+        mu = jax.jit(lambda t: field.mul(t, t))(aj)
+        for x, y in zip(sq, mu):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
