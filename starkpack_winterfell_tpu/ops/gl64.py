@@ -329,7 +329,36 @@ def mul(a, b):
 
 
 def square(a):
-    return mul(a, a)
+    lo, hi = a
+    xp = _xp(lo)
+    if xp is np:
+        return mul(a, a)
+    # traced squaring: (lo + hi*2^32)^2 needs 3 of the 4 32x32 products
+    # (the cross term lo*hi is doubled) — exp7/exp chains are mostly
+    # squarings, so this trims ~25% of their multiply work
+    return _reduce128(*_sqr64_full(lo, hi, xp), xp)
+
+
+@_wrapping
+def _sqr64_full(lo, hi, xp):
+    """64-bit squaring -> 128-bit product as four u32 limbs (3 _mul32)."""
+    l0, h0 = _mul32(lo, lo, xp)
+    lx, hx = _mul32(lo, hi, xp)  # cross term, to be doubled
+    l3, h3 = _mul32(hi, hi, xp)
+    # double (lx, hx): 64-bit value, may carry into the third limb
+    dlx = lx + lx
+    c0 = (dlx < lx).astype(_U32)
+    dhx = hx + hx + c0  # hx <= 2^32-2 so hx+hx+1 cannot wrap twice
+    ch = (dhx < hx).astype(_U32)
+    # assemble c0..c3 = (l0, h0) + (dlx, dhx)<<32 + carry + (l3, h3)<<64
+    c1 = h0 + dlx
+    k1 = (c1 < h0).astype(_U32)
+    t2 = l3 + dhx
+    k2 = (t2 < l3).astype(_U32)
+    c2 = t2 + k1
+    k3 = (c2 < k1).astype(_U32)
+    c3 = h3 + ch + k2 + k3
+    return l0, c1, c2, c3
 
 
 def double(a):

@@ -251,3 +251,21 @@ class TestFelt:
         want1 = [(int(e[i, 1]) * int(a[i])) % P for i in range(8)]
         assert as_ints(prod.to_u64s()[..., 0]) == want0
         assert as_ints(prod.to_u64s()[..., 1]) == want1
+
+
+def test_square_specialization_matches_mul():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from starkpack_winterfell_tpu.ops import gl64 as gl
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, gl.P, size=4097, dtype=np.uint64)
+    # include boundary values
+    vals[:4] = [0, 1, gl.P - 1, 0xFFFFFFFF]
+    a = tuple(jnp.asarray(x) for x in gl.from_u64(vals))
+    sq = jax.jit(gl.square)(a)
+    mu = jax.jit(lambda t: gl.mul(t, t))(a)
+    np.testing.assert_array_equal(np.asarray(sq[0]), np.asarray(mu[0]))
+    np.testing.assert_array_equal(np.asarray(sq[1]), np.asarray(mu[1]))
