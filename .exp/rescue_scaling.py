@@ -1,0 +1,46 @@
+"""TPU: rescue-chain steady prove at 2^16 and 2^18 (README scaling rows).
+
+One process, sequential configs (each pays its own remote compile).
+"""
+import os
+import sys
+import time
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_use_fusion_emitters" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_cpu_use_fusion_emitters=false"
+    ).strip()
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import faulthandler
+
+faulthandler.dump_traceback_later(5200, exit=True)
+
+from starkpack_winterfell_tpu import (
+    Blake3_256,
+    FieldExtension,
+    ProofOptions,
+    verify,
+)
+from starkpack_winterfell_tpu.models.rescue_chain import (
+    RescueChainAir,
+    RescueChainProver,
+    build_chain_trace,
+)
+
+options = ProofOptions(28, 8, 16, FieldExtension.NONE, 4, 31)
+for log_n in (16, 18):
+    t0 = time.perf_counter()
+    traces = [build_chain_trace([7] * 8, (1 << log_n) // 8)]
+    t1 = time.perf_counter()
+    prover = RescueChainProver(options, Blake3_256)
+    proof = prover.prove(1, traces, device=True)
+    t2 = time.perf_counter()
+    proof = prover.prove(1, traces, device=True)
+    t3 = time.perf_counter()
+    tv = time.perf_counter()
+    ok = verify(RescueChainAir, proof,
+                [prover.get_pub_inputs(t) for t in traces], Blake3_256)
+    print(f"rescue 2^{log_n}: trace {t1-t0:.1f}s  compile {t2-t1:.0f}s  "
+          f"steady {t3-t2:.2f}s  proof {len(proof.to_bytes())/1024:.1f} KB  "
+          f"verify {(time.perf_counter()-tv)*1e3:.0f} ms ok={ok}", flush=True)
