@@ -28,8 +28,12 @@ if os.environ.get("PHASES"):
 
 from starkpack_winterfell_tpu import verify
 from starkpack_winterfell_tpu.air.options import FieldExtension, ProofOptions
-from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+from starkpack_winterfell_tpu.crypto.hashers import get_hasher
 from starkpack_winterfell_tpu.models import lamport128_agg as agg
+
+# default sha3_256 (historic runs); the reference's "123-bit security"
+# Lamport table is f128 + BLAKE3-192 — HASH=blake3_192 for parity runs
+Sha3_256 = get_hasher(os.environ.get("HASH", "sha3_256"))
 
 OPTIONS = ProofOptions(28, 8, 0, FieldExtension.NONE, 4, 7)
 

@@ -1,0 +1,13 @@
+#!/bin/bash
+# Final round-3 TPU queue: reference-parity Lamport rows.
+cd /root/repo
+while pgrep -f "tpu_queue_r3.sh" | grep -v $$ > /dev/null; do sleep 60; done
+run() {
+  name=$1; shift
+  if [ -f .exp/qstop ]; then echo "qstop before $name" >> .exp/queue_r3.log; exit 0; fi
+  echo "=== $name start $(date -u +%FT%TZ)" >> .exp/queue_r3.log
+  "$@" > ".exp/${name}.out" 2> ".exp/${name}.err" < /dev/null
+  echo "=== $name rc=$? end $(date -u +%FT%TZ)" >> .exp/queue_r3.log
+}
+run agg64_b192 env PHASES=1 HASH=blake3_192 timeout 4800 python .exp/agg_tpu_bench.py 64
+run agg1024_b192 env HASH=blake3_192 timeout 5400 python .exp/agg_tpu_bench.py 1024
