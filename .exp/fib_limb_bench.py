@@ -32,8 +32,11 @@ if os.environ.get("PHASES"):
 
 from starkpack_winterfell_tpu import verify
 from starkpack_winterfell_tpu.air.options import FieldExtension, ProofOptions
-from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+from starkpack_winterfell_tpu.crypto.hashers import get_hasher
 from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+
+# HASH=blake3_192 for the keccak-vs-blake3 control run (VERDICT r3 item 6)
+Sha3_256 = get_hasher(os.environ.get("HASH", "sha3_256"))
 
 air_cls, build_trace, prover_cls, _ = get_fib_family(field)
 options = ProofOptions(28, 8, 16, FieldExtension.NONE, 4, 31)

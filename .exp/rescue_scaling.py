@@ -1,5 +1,7 @@
-"""TPU: rescue-chain steady prove at 2^16 and 2^18 (README scaling rows).
+"""TPU: rescue-chain steady prove scaling rows (README table vs
+/root/reference/README.md:335-403).
 
+Usage: python .exp/rescue_scaling.py [log_n ...]   (default 16 18)
 One process, sequential configs (each pays its own remote compile).
 """
 import os
@@ -28,8 +30,9 @@ from starkpack_winterfell_tpu.models.rescue_chain import (
     build_chain_trace,
 )
 
+sizes = [int(a) for a in sys.argv[1:]] or [16, 18]
 options = ProofOptions(28, 8, 16, FieldExtension.NONE, 4, 31)
-for log_n in (16, 18):
+for log_n in sizes:
     t0 = time.perf_counter()
     traces = [build_chain_trace([7] * 8, (1 << log_n) // 8)]
     t1 = time.perf_counter()
