@@ -270,23 +270,270 @@ def make_wallet(n_sigs: int, k: int = 127, seed: int = 0):
     return messages, pub_keys, sigs
 
 
-def build_lamport128_agg_trace(messages, sigs, k: int = 127) -> TraceTable:
+def build_lamport128_agg_trace(messages, sigs, k: int = 127,
+                               device_builder: bool = True) -> TraceTable:
     """One trace of n_sigs consecutive blocks; each block is bit-identical to
     the single-signature trace (fresh sponge per block).  Blocks are
     independent (the reference README highlights exactly this parallelism,
     README.md:432), so the native builds run on a thread pool — the C call
     releases the GIL."""
     assert (k + 1) & k == 0, "k + 1 must be a power of two (block alignment)"
-    native = _build_agg_native(messages, sigs, k)
-    if native is not None:
-        return native
-    blocks = [build_lamport128_trace(m, sig, k)
-              for m, sig in zip(messages, sigs)]
-    planes = [_u64_planes(t) for t in blocks]
-    lo = np.concatenate([p[0] for p in planes], axis=1)
-    hi = np.concatenate([p[1] for p in planes], axis=1)
-    meta = len(messages).to_bytes(4, "little")  # sig count rides trace meta
-    return TraceTable.from_u64_pairs(lo, hi, "f128", meta=meta)
+    trace = _build_agg_native(messages, sigs, k)
+    if trace is None:
+        blocks = [build_lamport128_trace(m, sig, k)
+                  for m, sig in zip(messages, sigs)]
+        planes = [_u64_planes(t) for t in blocks]
+        lo = np.concatenate([p[0] for p in planes], axis=1)
+        hi = np.concatenate([p[1] for p in planes], axis=1)
+        meta = len(messages).to_bytes(4, "little")  # sig count in trace meta
+        trace = TraceTable.from_u64_pairs(lo, hi, "f128", meta=meta)
+    if device_builder:
+        attach_device_builder(trace, messages, sigs, k)
+    return trace
+
+
+# ---------------------------------------------------------------------------
+# device trace builder: ship the O(n*k) signature elements (~0.5 KB/sig)
+# through the ~10-20 MB/s tunnel instead of the O(n*k*8*14) trace planes
+# (14 MB at 64 sigs, 224 MB at 1024), and re-run the Rescue128 sponge ON
+# DEVICE — the same upload-a-skeleton design as the rescue-chain expander
+# (models/rescue_chain.py _attach_device_expander), bit-identical to the
+# host/native builders.
+# ---------------------------------------------------------------------------
+
+_DEV_BUILD_CACHE: dict = {}
+
+
+def _exp_scan(comps, exponent: int, B, jax, jnp):
+    """x^exponent via MSB-first square-and-multiply with the constant bit
+    table in a fori_loop (never unroll 128-bit exponent chains — CLAUDE.md
+    XLA compile-blowup rule; same pattern as gl64._exp_loop_jax)."""
+    bits = [int(b) for b in bin(exponent)[2:]]
+    tab = jnp.asarray(bits, dtype=jnp.uint32)
+
+    def body(i, acc):
+        acc = B.bsquare(acc)
+        mul = B.bmul(acc, comps)
+        return B.bwhere(tab[i] == 1, mul, acc)
+
+    return jax.lax.fori_loop(1, len(bits), body, comps)
+
+
+def _dev_round(state_comps, ark_comps, B, jax, jnp):
+    """One Rescue128 round on stacked (6, N) limb comps with the round's 12
+    ARK values as (12,) limb comps (crypto/rescue128.py apply_round,
+    traced): sbox -> MDS -> +ARK[:6] -> inv-sbox -> MDS -> +ARK[6:]."""
+    from ..crypto.rescue128_constants import INV_ALPHA, MDS
+    from ..ops.felt import Felt, mds_apply
+
+    def unstack(comps, cnt=STATE_WIDTH):
+        return [Felt((tuple(l[i] for l in comps),), B=B)
+                for i in range(cnt)]
+
+    def restack(felts):
+        return tuple(jnp.stack([f.c[0][li] for f in felts])
+                     for li in range(len(felts[0].c[0])))
+
+    ark = unstack(ark_comps, 2 * STATE_WIDTH)  # 12 scalar felts
+    x4 = B.bsquare(B.bsquare(state_comps))
+    state = B.bmul(x4, state_comps)             # sbox x^5, stacked
+    state = mds_apply(unstack(state), MDS)
+    state = [s + ark[i] for i, s in enumerate(state)]
+    inv = _exp_scan(restack(state), INV_ALPHA, B, jax, jnp)
+    state = mds_apply(unstack(inv), MDS)
+    state = [s + ark[STATE_WIDTH + i] for i, s in enumerate(state)]
+    return restack(state)
+
+
+def _dev_build_kernel(n: int, k: int):
+    """Jitted (bits (n,k) u32, rev comps (2,n,k), oth comps (2,n,k)) ->
+    limb tuple of (14, n*block) u32 planes, bit-identical to
+    build_lamport128_trace concatenated per block."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.backend import get_backend
+    from ..ops.felt import Felt
+
+    from ..crypto.rescue128_constants import ARK
+
+    B = get_backend("f128")
+    nl = B.spec.ELEMENT_BYTES // 4
+    block = CYCLE_LENGTH * (k + 1)
+
+    # ARK table as (NUM_ROUNDS, 12) limb comps (rounds scan over it)
+    ark_flat = [ARK[r][j] for r in range(NUM_ROUNDS)
+                for j in range(2 * STATE_WIDTH)]
+    ark_limbs = B.elems_to_limbs(ark_flat, 1)[0]
+    ark_tab = tuple(
+        np.asarray(l).reshape(NUM_ROUNDS, 2 * STATE_WIDTH)
+        for l in ark_limbs
+    )
+
+    def felt(comps):
+        return Felt((comps,), B=B)
+
+    def zeros(shape):
+        return tuple(jnp.zeros(shape, jnp.uint32) for _ in range(nl))
+
+    def run_cycle(state_comps):
+        """7 recorded rounds on stacked (6, ...) comps: returns
+        (rows (8, 6, ...) comps, final (6, ...) comps)."""
+
+        def body(carry, ark_r):
+            nxt = _dev_round(carry, ark_r, B, jax, jnp)
+            return nxt, carry  # emit the pre-round state
+
+        fin, pre = jax.lax.scan(body, state_comps, ark_tab)
+        rows = tuple(
+            jnp.concatenate([p, f[None]]) for p, f in zip(pre, fin)
+        )  # (8, 6, ...)
+        return rows, fin
+
+    def fn(bits, rev, oth):
+        # rev/oth: [elem0_comps, elem1_comps], each a limb tuple of (n, k)
+        # ---- A columns: all n*k hash cycles are independent ----
+        a_state = tuple(
+            jnp.stack([rev[0][li], rev[1][li]]
+                      + [jnp.zeros((n, k), jnp.uint32)] * 4)
+            for li in range(nl)
+        )  # (6, n, k)
+        a_stack, a_fin = run_cycle(a_state)         # (8, 6, n, k)
+        # final cycle: rounds of the zero state, shared by every block
+        z_stack, _ = run_cycle(zeros((STATE_WIDTH,)))   # (8, 6)
+        # digests h = state after 7 rounds, elements 0..1: (n, k) comps
+        h0 = tuple(l[0] for l in a_fin)
+        h1 = tuple(l[1] for l in a_fin)
+
+        # ---- B columns + m: sequential sponge per block (scan over k) ----
+        bits_l = tuple(
+            bits if li == 0 else jnp.zeros_like(bits) for li in range(nl)
+        )  # (n, k) field elements 0/1
+
+        def scan_body(carry, xs):
+            b_comps, m_comps = carry
+            c_idx, h0c, h1c, o0, o1, bit = xs
+            # cycle 0 copies (B idles); later cycles run the rounds.  Both
+            # are computed and selected — c_idx is a traced scan element
+            rows_run, fin_run = run_cycle(b_comps)
+            first = c_idx == 0
+            copy_rows = tuple(
+                jnp.broadcast_to(c[None], (CYCLE_LENGTH,) + c.shape)
+                for c in b_comps
+            )
+            rows_out = B.bwhere(first, copy_rows, rows_run)
+            fin = B.bwhere(first, b_comps, fin_run)
+            # absorb: left/right routed by the message bit
+            hh = [Felt((h0c,), B=B), Felt((h1c,), B=B)]
+            ot = [Felt((o0,), B=B), Felt((o1,), B=B)]
+            bitf = Felt((bit,), B=B)
+            one = Felt.from_int(1, (), 1, B)
+            nb = [Felt((tuple(l[i] for l in fin),), B=B)
+                  for i in range(STATE_WIDTH)]
+            for i in range(2):
+                left_i = bitf * ot[i] + (one - bitf) * hh[i]
+                right_i = bitf * hh[i] + (one - bitf) * ot[i]
+                nb[i] = nb[i] + left_i
+                nb[2 + i] = nb[2 + i] + right_i
+            m = Felt((m_comps,), B=B)
+            m_next = m + m + bitf
+            carry2 = (
+                tuple(jnp.stack([s.c[0][li] for s in nb])
+                      for li in range(nl)),
+                m_next.c[0],
+            )
+            return carry2, (rows_out, m_comps)
+
+        b0 = tuple(jnp.zeros((STATE_WIDTH, n), jnp.uint32)
+                   for _ in range(nl))
+        m0 = zeros((n,))
+        # xs elements lead with the scan axis (k)
+        h0_k = tuple(jnp.moveaxis(c, -1, 0) for c in h0)   # (k, n)
+        h1_k = tuple(jnp.moveaxis(c, -1, 0) for c in h1)
+        o0_k = tuple(jnp.moveaxis(l, -1, 0) for l in oth[0])
+        o1_k = tuple(jnp.moveaxis(l, -1, 0) for l in oth[1])
+        bit_k = tuple(jnp.moveaxis(c, -1, 0) for c in bits_l)
+        (b_fin, m_fin), (b_rows_k, m_k) = jax.lax.scan(
+            scan_body, (b0, m0),
+            (jnp.arange(k), h0_k, h1_k, o0_k, o1_k, bit_k),
+        )
+        # final cycle: rounds from the carried state, no absorb, m frozen
+        b_fin_stack, _ = run_cycle(b_fin)           # (8, 6, n)
+        bitsf = Felt((bits_l,), B=B)
+
+        # ---- assemble the 14 (width, n*block) planes ----
+        planes = []
+        for li in range(nl):
+            a_cols = jnp.concatenate(
+                [
+                    jnp.transpose(a_stack[li], (1, 2, 3, 0)),  # (6, n, k, 8)
+                    jnp.broadcast_to(
+                        jnp.transpose(z_stack[li], (1, 0))[:, None, None, :],
+                        (STATE_WIDTH, n, 1, CYCLE_LENGTH),
+                    ),
+                ],
+                axis=2,
+            ).reshape(STATE_WIDTH, n * block)
+            # b_rows_k: (k, 8, 6, n) -> (6, n, k, 8); final (8, 6, n)
+            b_cols = jnp.concatenate(
+                [
+                    jnp.transpose(b_rows_k[li], (2, 3, 0, 1)),
+                    jnp.transpose(b_fin_stack[li], (1, 2, 0))[:, :, None, :],
+                ],
+                axis=2,
+            ).reshape(STATE_WIDTH, n * block)
+            # bit / m: constant over the 8 rows of a cycle; final cycle 0/m
+            bit_full = jnp.concatenate(
+                [bitsf.c[0][li], jnp.zeros((n, 1), jnp.uint32)], axis=1
+            )  # (n, k+1)
+            bit_col = jnp.broadcast_to(
+                bit_full[:, :, None], (n, k + 1, CYCLE_LENGTH)
+            ).reshape(1, n * block)
+            m_full = jnp.concatenate(
+                [jnp.moveaxis(m_k[li], 0, -1),
+                 jnp.moveaxis(m_fin[li][None], 0, -1)], axis=1
+            )  # (n, k+1)
+            m_col = jnp.broadcast_to(
+                m_full[:, :, None], (n, k + 1, CYCLE_LENGTH)
+            ).reshape(1, n * block)
+            planes.append(
+                jnp.concatenate([a_cols, b_cols, bit_col, m_col], axis=0)
+            )
+        return tuple(planes)
+
+    return jax.jit(fn)
+
+
+def attach_device_builder(trace: TraceTable, messages, sigs, k: int):
+    """Attach a device builder producing the limb planes of the agg trace
+    from the O(n*k) signature inputs (prover/trace.py set_device_builder)."""
+    n = len(messages)
+
+    def build():
+        import jax.numpy as jnp
+
+        nl = 4
+        bits = np.empty((n, k), dtype=np.uint32)
+        rev = [np.empty((2, n, k), dtype=np.uint32) for _ in range(nl)]
+        oth = [np.empty((2, n, k), dtype=np.uint32) for _ in range(nl)]
+        for s in range(n):
+            m = messages[s]
+            for c in range(k):
+                bits[s, c] = (m >> (k - 1 - c)) & 1
+                revealed, other = sigs[s][c]
+                for e in range(2):
+                    for li in range(nl):
+                        rev[li][e, s, c] = (revealed[e] >> (32 * li)) & 0xFFFFFFFF
+                        oth[li][e, s, c] = (other[e] >> (32 * li)) & 0xFFFFFFFF
+        key = ("lamport_agg_build", n, k)
+        if key not in _DEV_BUILD_CACHE:
+            _DEV_BUILD_CACHE[key] = _dev_build_kernel(n, k)
+        fn = _DEV_BUILD_CACHE[key]
+        rev_t = [tuple(r[e] for r in rev) for e in range(2)]
+        oth_t = [tuple(o[e] for o in oth) for e in range(2)]
+        return fn(jnp.asarray(bits), rev_t, oth_t)
+
+    trace.set_device_builder(build)
 
 
 def _build_agg_native(messages, sigs, k: int):

@@ -404,7 +404,7 @@ def sharded_constraint_phase(mesh, B, air0, domain, ext_deg, n, plan):
     return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
 
 
-def _build_plan(air0, template, domain, ext_deg, B):
+def _build_plan(air0, template, domain, ext_deg, B, compact_periodic=False):
     """Static constraint structure shared by all instances: boundary groups
     in host-evaluator order (main groups, then aux groups merged into a
     main group with an equal divisor or appended —
@@ -449,9 +449,17 @@ def _build_plan(air0, template, domain, ext_deg, B):
             zfull = B.bmul(zfull, _exemptions_eval(dv, domain))
         div_tables.append(tuple(np.asarray(l) for l in zfull))
 
-    # PeriodicValueTable columns are already expanded to (ce,) limb tuples
-    periodic = PeriodicValueTable(air0, B)
-    periodic_tabs = [tuple(np.asarray(l) for l in c) for c in periodic.columns]
+    if compact_periodic:
+        # natural-period tables for the coset-streamed kernels: the (ce,)
+        # expansion of the lamport-agg columns is 3.6 GB at ce = 2^23
+        from .streamed import compact_periodic_tables
+
+        periodic_tabs = compact_periodic_tables(air0, B)
+    else:
+        # PeriodicValueTable columns are already expanded to (ce,) tuples
+        periodic = PeriodicValueTable(air0, B)
+        periodic_tabs = [tuple(np.asarray(l) for l in c)
+                         for c in periodic.columns]
 
     tc = air0.get_transition_constraints(
         [0] * air0.context.num_transition_constraints()
@@ -485,10 +493,19 @@ def _stack_elems(B, rows, deg):
     return tuple(tuple(np.asarray(l).reshape(n, k) for l in c) for c in comps)
 
 
-def _stack_group_values(plan, per_instance, domain, air0, B, ext_deg):
+def _stack_group_values(plan, per_instance, domain, air0, B, ext_deg,
+                        seq_coeffs=False):
     """Per-instance boundary values + composition coefficients stacked in
     kernel walk order.  Values: singles as (n, 1) comps, sequence polys as
-    their (n, ce) ce-domain evaluations; ccs as (n, 1) ext comps."""
+    their (n, ce) ce-domain evaluations; ccs as (n, 1) ext comps.
+
+    seq_coeffs=True returns sequence entries as (coeffs (n, m) comps,
+    off_eff, m) instead of host-evaluated (n, ce) tables: the caller
+    evaluates them ON DEVICE (evaluating at offset off*g_ce^-step_offset is
+    exactly the host's evaluate-then-roll — same canonical values).  The
+    host eval + upload is O(n_inst * ce) per prove (the polys depend on pub
+    inputs, so it cannot be config-cached) — 25 MB per prove at lamport
+    agg-64, 400 MB at agg-1024."""
     n = len(per_instance)
     ce = domain.ce_size
     singles, seqs, ccs = [], [], []
@@ -526,6 +543,15 @@ def _stack_group_values(plan, per_instance, domain, air0, B, ext_deg):
                 singles.append(
                     _stack_elems(B, [[c.poly[0]] for c in cons], val_deg)
                 )
+            elif seq_coeffs:
+                m = len(c0.poly)
+                base_off = air0.domain_offset() if m < ce else 1
+                so = c0.poly_offset[0] * air0.ce_blowup_factor()
+                g_ce = B.get_root_of_unity(ce.bit_length() - 1)
+                off_eff = (base_off * pow(g_ce, -so, B.P)) % B.P
+                coeffs = _stack_elems(B, [list(c.poly) for c in cons],
+                                      val_deg)
+                seqs.append((coeffs, off_eff, m))
             else:
                 rows = []
                 for c in cons:
@@ -608,8 +634,25 @@ def prove_mesh(prover, n: int, traces, mesh):
     n_pad = ((n + d - 1) // d) * d
 
     # ---- P1: sharded main-trace commitment ----
-    main_segments = [t.main_segment_limbs(B) for t in traces]
-    stacked = _stack_segments(main_segments, n_pad)
+    built = [t.device_planes() for t in traces]
+    if all(b is not None for b in built):
+        # device-built planes (TraceTable.set_device_builder): only the
+        # trace skeleton / signature elements crossed the ~10-20 MB/s
+        # tunnel; builders return the limb tuple of (w, length) u32 arrays
+        # matching main_segment_limbs()[0]
+        nl = len(built[0])
+        arrs = [jnp.stack([b[l] for b in built]) for l in range(nl)]
+        if n_pad > n:
+            arrs = [
+                jnp.concatenate(
+                    [a, jnp.zeros((n_pad - n,) + a.shape[1:], a.dtype)]
+                )
+                for a in arrs
+            ]
+        stacked = (tuple(arrs),)
+    else:
+        main_segments = [t.main_segment_limbs(B) for t in traces]
+        stacked = _stack_segments(main_segments, n_pad)
     k1 = _cached(
         ("seg", mesh, B.spec.name, hasher, n, n_pad, w, length, blowup,
          offset, 1),
@@ -664,9 +707,21 @@ def prove_mesh(prover, n: int, traces, mesh):
     plan = _build_plan(airs[0], boundary_list[0], domain, ext_deg, B)
     plan["w_main"] = w
     plan["w_aux"] = aux_widths[0] if aux_widths else None
-    singles, seqs, ccs = _stack_group_values(
-        plan, boundary_list, domain, airs[0], B, ext_deg
+    singles, seq_specs, ccs = _stack_group_values(
+        plan, boundary_list, domain, airs[0], B, ext_deg, seq_coeffs=True
     )
+    # sequence-assertion tables are (n, ce)-sized and pub-input-dependent:
+    # evaluate them on device from the (n, m) coefficient stacks
+    seqs = []
+    for coeffs, off_eff, m in seq_specs:
+        k_seq = _cached(
+            ("seqeval", mesh, B.spec.name, n, m, domain.ce_size, off_eff,
+             len(coeffs)),
+            lambda off_eff=off_eff, m=m: jax.jit(
+                lambda c: B.evaluate_poly_with_offset(
+                    c, off_eff, domain.ce_size // m)),
+        )
+        seqs.append(k_seq(coeffs))
     t_main = _stack_elems(
         B, [t.main_constraint_coef for t in tc_list], ext_deg
     )

@@ -166,6 +166,115 @@ def test_prove_mesh_f62():
     assert mesh_proof.to_bytes() == host_proof.to_bytes()
 
 
+def test_prove_mesh_device_built_planes():
+    """TraceTable.set_device_builder on a limb-field trace: prove_mesh must
+    consume the device-built planes (instead of uploading host columns) and
+    stay byte-identical to the host pipeline."""
+    import jax.numpy as jnp
+
+    from starkpack_winterfell_tpu.crypto.hashers import Sha3_256
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+    from starkpack_winterfell_tpu.ops.backend import get_backend
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f128")
+    mesh = make_mesh(1)
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    traces = [build_trace(16)]
+    B = get_backend("f128")
+    host_planes = traces[0].main_segment_limbs(B)[0]
+    traces[0].set_device_builder(
+        lambda: tuple(jnp.asarray(l) for l in host_planes)
+    )
+    prover = prover_cls(options, Sha3_256)
+    host_proof = prover.prove(1, [build_trace(16)])
+    mesh_proof = prove_mesh(prover, 1, traces, mesh)
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STARKPACK_SLOW_TESTS"),
+    reason="XLA:CPU compiles the Rescue128 device trace-builder kernel in "
+    "~3 min; run with STARKPACK_SLOW_TESTS=1 (TPU parity is covered by the "
+    "round-4 queue evidence)",
+)
+def test_lamport_agg_device_builder_bit_identical():
+    """The on-device agg trace builder (signature elements up, Rescue128
+    sponge re-run on device) reproduces the host/native planes bit-for-bit."""
+    import numpy as np
+
+    from starkpack_winterfell_tpu.models import lamport128_agg as agg
+    from starkpack_winterfell_tpu.ops.backend import get_backend
+
+    n, k = 2, 3
+    messages, pub_keys, sigs = agg.make_wallet(n, k, seed=5)
+    trace = agg.build_lamport128_agg_trace(messages, sigs, k)
+    B = get_backend("f128")
+    host = trace.main_segment_limbs(B)[0]
+    dev = trace.device_planes()
+    assert dev is not None
+    for h, d in zip(host, dev):
+        assert (np.asarray(h) == np.asarray(d)).all()
+
+
+def test_prove_mesh_sequence_assertions():
+    """Sequence assertions route through prove_mesh's device seq-eval
+    kernel (coefficients uploaded, (n, ce) table evaluated on device at
+    offset off*g_ce^-step_offset) — must stay byte-identical to the host
+    pipeline's evaluate-then-index-shift (constraints.py
+    _evaluate_boundary_group)."""
+    from starkpack_winterfell_tpu.air import (
+        AirContext,
+        Assertion,
+        TransitionConstraintDegree,
+    )
+
+    stride = 4
+
+    class SeqPub:
+        def __init__(self, start, result, seq):
+            self.start, self.result, self.seq = start, result, list(seq)
+
+        def to_elements(self):
+            return [self.start, self.result] + self.seq
+
+    class SeqDoWorkAir(DoWorkAir):
+        def __init__(self, trace_info, pub_inputs, options):
+            degrees = [TransitionConstraintDegree(3)]
+            self.context = AirContext(trace_info, degrees, 3, options)
+            self.start = pub_inputs.start
+            self.result = pub_inputs.result
+            self.seq = pub_inputs.seq
+
+        def get_assertions(self):
+            last = self.trace_length() - 1
+            return [
+                Assertion.single(0, 0, self.start),
+                Assertion.single(0, last, self.result),
+                # first_step=1 exercises the poly_offset (x-shift) handling
+                Assertion.sequence(0, 1, stride, self.seq),
+            ]
+
+    class SeqDoWorkProver(DoWorkProver):
+        air_class = SeqDoWorkAir
+
+        def get_pub_inputs(self, trace):
+            last = trace.length - 1
+            seq = [trace.get(0, 1 + i * stride)
+                   for i in range(trace.length // stride)]
+            return SeqPub(trace.get(0, 0), trace.get(0, last), seq)
+
+    mesh = make_mesh(4)
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 7)
+    n = 2
+    traces = [build_do_work_trace(i + 3, 16) for i in range(n)]
+    prover = SeqDoWorkProver(options, Blake3_256)
+    host_proof = prover.prove(n, traces)
+    mesh_proof = prove_mesh(prover, n, traces, mesh)
+    assert mesh_proof.to_bytes() == host_proof.to_bytes()
+    pub_inputs = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(SeqDoWorkAir, mesh_proof, pub_inputs, Blake3_256)
+
+
 def test_sharded_commit_per_device_memory():
     """The gather-free claim, verified directly: every per-device shard of
     the P1 outputs holds 1/d of the global array (no phase materializes the
