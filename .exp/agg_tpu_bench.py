@@ -13,7 +13,9 @@ os.environ.setdefault("XLA_FLAGS", "--xla_cpu_use_fusion_emitters=false")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import faulthandler
 
-faulthandler.dump_traceback_later(3500, exit=True)
+faulthandler.dump_traceback_later(
+    int(os.environ.get("FH_TIMEOUT", "3500")), exit=True
+)
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 

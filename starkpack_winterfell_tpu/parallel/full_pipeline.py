@@ -633,6 +633,16 @@ def prove_mesh(prover, n: int, traces, mesh):
     offset = domain.domain_offset
     n_pad = ((n + d - 1) // d) * d
 
+    # HBM plan: configs whose one-shot pipeline would exceed the chip's
+    # memory run the coset-streamed kernels instead (same bytes out)
+    from . import streamed as _streamed
+
+    stream = spec.name != "f64" and _streamed.should_stream(
+        n_pad, w, length, blowup, B.ELEMENT_BYTES, d,
+        traces[0].num_aux_segments() > 0,
+    )
+    offs_dev = None
+
     # ---- P1: sharded main-trace commitment ----
     built = [t.device_planes() for t in traces]
     if all(b is not None for b in built):
@@ -653,14 +663,22 @@ def prove_mesh(prover, n: int, traces, mesh):
     else:
         main_segments = [t.main_segment_limbs(B) for t in traces]
         stacked = _stack_segments(main_segments, n_pad)
-    k1 = _cached(
-        ("seg", mesh, B.spec.name, hasher, n, n_pad, w, length, blowup,
-         offset, 1),
-        lambda: sharded_segment_commit(mesh, B, hasher, n, n_pad, w, length,
-                                       blowup, offset, 1),
-    )
-    polys_dev, lde_rows, sub_l, top_l = k1(stacked)
-    main_tree = MerkleTree(assemble_levels(sub_l, top_l), hasher)
+    if stream:
+        commit = _streamed.streamed_segment_commit(
+            B, hasher, n, w, length, blowup, offset, 1, _cached
+        )
+        polys_dev, levels, offs_dev = commit(stacked)
+        lde_rows = None
+        main_tree = MerkleTree(levels, hasher)
+    else:
+        k1 = _cached(
+            ("seg", mesh, B.spec.name, hasher, n, n_pad, w, length, blowup,
+             offset, 1),
+            lambda: sharded_segment_commit(mesh, B, hasher, n, n_pad, w,
+                                           length, blowup, offset, 1),
+        )
+        polys_dev, lde_rows, sub_l, top_l = k1(stacked)
+        main_tree = MerkleTree(assemble_levels(sub_l, top_l), hasher)
     channel.commit_trace(main_tree.root())
     _mark("P1 sharded main-trace commit")
 
@@ -704,24 +722,38 @@ def prove_mesh(prover, n: int, traces, mesh):
     final_coeff = channel.get_final_polynomial_coeffs()
     final_powers = [spec.fexp(final_coeff, i) for i in range(n)]
 
-    plan = _build_plan(airs[0], boundary_list[0], domain, ext_deg, B)
+    # the plan's group structure and divisor/periodic tables depend only on
+    # the configuration (AIR type + sizes), not on pub-input values or the
+    # per-prove composition coefficients — rebuilding them cost O(ce) host
+    # limb math (power series + batch inversions) on EVERY prove.  The
+    # round-4 agg64 profile measured 0.78 s of device time inside a 6 s
+    # steady prove: host table building was a top cost.
+    plan = _cached(
+        ("plan", B.spec.name, type(airs[0]).__qualname__, n, w,
+         domain.trace_length, domain.ce_size, ext_deg, stream,
+         getattr(airs[0], "periodic_cache_key", lambda: ())()),
+        lambda: _build_plan(airs[0], boundary_list[0], domain, ext_deg, B,
+                            compact_periodic=stream),
+    )
     plan["w_main"] = w
     plan["w_aux"] = aux_widths[0] if aux_widths else None
     singles, seq_specs, ccs = _stack_group_values(
         plan, boundary_list, domain, airs[0], B, ext_deg, seq_coeffs=True
     )
     # sequence-assertion tables are (n, ce)-sized and pub-input-dependent:
-    # evaluate them on device from the (n, m) coefficient stacks
+    # evaluate them on device from the (n, m) coefficient stacks (the
+    # streamed kernels evaluate them per coset in-kernel instead)
     seqs = []
-    for coeffs, off_eff, m in seq_specs:
-        k_seq = _cached(
-            ("seqeval", mesh, B.spec.name, n, m, domain.ce_size, off_eff,
-             len(coeffs)),
-            lambda off_eff=off_eff, m=m: jax.jit(
-                lambda c: B.evaluate_poly_with_offset(
-                    c, off_eff, domain.ce_size // m)),
-        )
-        seqs.append(k_seq(coeffs))
+    if not stream:
+        for coeffs, off_eff, m in seq_specs:
+            k_seq = _cached(
+                ("seqeval", mesh, B.spec.name, n, m, domain.ce_size, off_eff,
+                 len(coeffs)),
+                lambda off_eff=off_eff, m=m: jax.jit(
+                    lambda c: B.evaluate_poly_with_offset(
+                        c, off_eff, domain.ce_size // m)),
+            )
+            seqs.append(k_seq(coeffs))
     t_main = _stack_elems(
         B, [t.main_constraint_coef for t in tc_list], ext_deg
     )
@@ -765,21 +797,34 @@ def prove_mesh(prover, n: int, traces, mesh):
         ),
     )
 
-    k2 = _cached(
-        ("cons", mesh, B.spec.name, type(airs[0]).__qualname__,
-         domain.trace_length, domain.ce_size, ext_deg, n, w,
-         plan["w_aux"], tuple(tuple(g) for g in plan["groups"])),
-        lambda: sharded_constraint_phase(mesh, B, airs[0], domain, ext_deg, n,
-                                         plan),
-    )
-    main_rows_n = _tmap(lambda a: a[:n], lde_rows)
-    aux_rows_n = (
-        _tmap(lambda a: a[:n], aux_rows_list[0]) if plan["has_aux"] else ()
-    )
-    final_comb_dev = k2(
-        main_rows_n, aux_rows_n, t_main, t_aux, singles, seqs, ccs,
-        aux_rand_stacks, fp_stack, div_dev, per_dev,
-    )
+    if stream:
+        seq_stacks = [s[0] for s in seq_specs]
+        seq_meta = [(s[1], s[2]) for s in seq_specs]
+        cons_call = _streamed.streamed_constraint_kernel(
+            B, airs[0], domain, ext_deg, n, plan, seq_meta, _cached
+        )
+        final_comb_dev = cons_call(
+            polys_dev, offs_dev, t_main, singles, seq_stacks, ccs,
+            fp_stack, div_dev, per_dev,
+        )
+        main_rows_n = None
+    else:
+        k2 = _cached(
+            ("cons", mesh, B.spec.name, type(airs[0]).__qualname__,
+             domain.trace_length, domain.ce_size, ext_deg, n, w,
+             plan["w_aux"], tuple(tuple(g) for g in plan["groups"])),
+            lambda: sharded_constraint_phase(mesh, B, airs[0], domain,
+                                             ext_deg, n, plan),
+        )
+        main_rows_n = _tmap(lambda a: a[:n], lde_rows)
+        aux_rows_n = (
+            _tmap(lambda a: a[:n], aux_rows_list[0]) if plan["has_aux"]
+            else ()
+        )
+        final_comb_dev = k2(
+            main_rows_n, aux_rows_n, t_main, t_aux, singles, seqs, ccs,
+            aux_rand_stacks, fp_stack, div_dev, per_dev,
+        )
     _mark("P2/P5 sharded constraint evaluation")
 
     # ---- P3: composition poly + sharded LDE/commitment ----
@@ -824,15 +869,26 @@ def prove_mesh(prover, n: int, traces, mesh):
             for c in B.promote(coeffs, ext_deg)
         )
     comp_blowup = L // trace_length
-    k3 = _cached(
-        ("lde", mesh, B.spec.name, num_cols, trace_length, comp_blowup,
-         offset, hasher, ext_deg),
-        lambda: sharded_lde_blocks(mesh, B, num_cols, trace_length,
-                                   comp_blowup, offset, hasher=hasher,
-                                   deg=ext_deg),
-    )
-    comp_lde_rows, csub, ctop = k3(comp_columns)
-    constraint_tree = MerkleTree(assemble_levels(csub, ctop), hasher)
+    if stream:
+        # comp columns share the main trace's length and blowup, so the
+        # P1 offsets table serves the per-coset composition commit too
+        assert comp_blowup == blowup and trace_length == length
+        comp_levels = _streamed.streamed_comp_commit(
+            B, hasher, num_cols, trace_length, comp_blowup, ext_deg,
+            _cached, offs_dev,
+        )(comp_columns)
+        constraint_tree = MerkleTree(comp_levels, hasher)
+        comp_lde_rows = None
+    else:
+        k3 = _cached(
+            ("lde", mesh, B.spec.name, num_cols, trace_length, comp_blowup,
+             offset, hasher, ext_deg),
+            lambda: sharded_lde_blocks(mesh, B, num_cols, trace_length,
+                                       comp_blowup, offset, hasher=hasher,
+                                       deg=ext_deg),
+        )
+        comp_lde_rows, csub, ctop = k3(comp_columns)
+        constraint_tree = MerkleTree(assemble_levels(csub, ctop), hasher)
     channel.commit_constraints(constraint_tree.root())
     _mark("P3 sharded composition LDE + commit")
 
@@ -868,25 +924,35 @@ def prove_mesh(prover, n: int, traces, mesh):
         ]
     aux_rows_dev = [_tmap(lambda a: a[:n], x) for x in aux_rows_list]
 
-    def query_rows(positions):
-        from ..utils.transfer import pull_rows_many
+    if stream:
+        # queried LDE rows are re-derived from the coefficient tables coset
+        # by coset (the LDE was never materialized)
+        query_rows = _streamed.streamed_query_rows(
+            B, n, w, num_cols, trace_length, blowup, ext_deg, _cached,
+            offs_dev, polys_dev, comp_columns,
+        )
+    else:
+        def query_rows(positions):
+            from ..utils.transfer import pull_rows_many
 
-        pulled = pull_rows_many(
-            [(main_rows_n, positions, -1)]
-            + [(ar, positions, -1) for ar in aux_rows_dev]
-            + [(comp_lde_rows, positions, -1)]
-        )  # one dispatch + transfer for main/aux/composition rows
-        main_g = pulled[0]  # comps (n, w, q)
-        main_ldes_q = [
-            tuple(tuple(l[i] for l in c) for c in main_g) for i in range(n)
-        ]
-        aux_list = []
-        for g in pulled[1:-1]:
-            aux_list.append(
-                [tuple(tuple(l[i] for l in c) for c in g) for i in range(n)]
-            )
-        comp_g = pulled[-1]
-        return main_ldes_q, aux_list, comp_g
+            pulled = pull_rows_many(
+                [(main_rows_n, positions, -1)]
+                + [(ar, positions, -1) for ar in aux_rows_dev]
+                + [(comp_lde_rows, positions, -1)]
+            )  # one dispatch + transfer for main/aux/composition rows
+            main_g = pulled[0]  # comps (n, w, q)
+            main_ldes_q = [
+                tuple(tuple(l[i] for l in c) for c in main_g)
+                for i in range(n)
+            ]
+            aux_list = []
+            for g in pulled[1:-1]:
+                aux_list.append(
+                    [tuple(tuple(l[i] for l in c) for c in g)
+                     for i in range(n)]
+                )
+            comp_g = pulled[-1]
+            return main_ldes_q, aux_list, comp_g
 
     _mark("device->host materialization for the query/tail phase")
 

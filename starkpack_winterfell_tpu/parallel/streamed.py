@@ -214,10 +214,7 @@ def streamed_segment_commit(B, hasher, n, w, length, blowup, offset, deg,
         return jax.jit(fn)
 
     k_levels = _cached(
-        ("stream_levels", hasher, length * blowup,
-         hasher.hash_words.__self__ if hasattr(hasher.hash_words, "__self__")
-         else hasher),
-        make_levels,
+        ("stream_levels", hasher, length * blowup, "trace"), make_levels
     )
 
     offs_dev = _cached(
@@ -324,13 +321,6 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
                         coeffs = seq_stacks[sq]
                         off_eff, m = seq_meta[sq]
                         scale = _dyn_row(scale_tabs[m], rc)  # (m,)
-                        sc = tuple(
-                            tuple(
-                                B.bmul(c, tuple(l[None, :] for l in scale))
-                                for c in comp_
-                            ) if False else None
-                            for comp_ in ()
-                        )
                         sc = tuple(
                             B.bmul(c, tuple(l[None, :] for l in scale))
                             for c in coeffs
@@ -523,8 +513,8 @@ def streamed_query_rows(B, n, w, num_cols, length, blowup, ext_deg, _cached,
         deg_c = len(comp_columns)
         nl_c = len(comp_columns[0])
         main_np = [
-            tuple(tuple(np.zeros((w, q), dtype=np.asarray(l).dtype)
-                        for l in c) for c in polys)
+            tuple(tuple(np.zeros((w, q), dtype=np.uint32) for l in c)
+                  for c in polys)
             for _ in range(n)
         ]
         comp_np = tuple(

@@ -127,10 +127,10 @@ class ProverChannel:
                 if tz >= grinding_factor:
                     return nonce
                 nonce += 1
+        # the coin seed is exactly one digest (24 bytes for blake3_192,
+        # 32 for blake3_256) — digest_from_bytes zero-pads the words
         seed_words = np.asarray(
-            self.hasher.digest_from_bytes(
-                self.public_coin.seed + b"\x00" * (32 - len(self.public_coin.seed))
-            )
+            self.hasher.digest_from_bytes(self.public_coin.seed)
         ).reshape(1, 8)
         batch = 1 << 14
         start = 1
@@ -163,20 +163,21 @@ class ProverChannel:
 
 
 def _merge_with_int_batch(hasher, seed_words, nonces):
-    """Vectorized hash(seed || nonce_le) over a batch of nonces.
-
-    Only correct for 32-byte digests (Blake3_256/Sha3 use full words); for
-    truncated digests the per-row host path is used.
-    """
-    if hasher.DIGEST_BYTES == 32 and hasher.NAME.startswith("blake3"):
+    """Vectorized hash(seed_digest_bytes || nonce_le) over a batch of
+    nonces — one BLAKE3 compress per row for both the 32-byte and the
+    truncated 24-byte (blake3_192) digests; other hashers take the per-row
+    host path."""
+    if hasher.NAME.startswith("blake3"):
         batch = seed_words.shape[0]
         z = np.zeros(batch, dtype=np.uint32)
-        blk = [seed_words[:, i] for i in range(8)]
+        sw = hasher.DIGEST_BYTES // 4  # seed words actually hashed
+        blk = [seed_words[:, i] for i in range(sw)]
         blk.append((nonces & np.uint64(0xFFFFFFFF)).astype(np.uint32))
         blk.append((nonces >> np.uint64(32)).astype(np.uint32))
-        blk += [z] * 6
+        blk += [z] * (16 - sw - 2)
         cv = [z + np.uint32(v) for v in b3.IV]
-        out = b3.compress(cv, blk, 0, 40, b3.CHUNK_START | b3.CHUNK_END | b3.ROOT, np)
+        out = b3.compress(cv, blk, 0, hasher.DIGEST_BYTES + 8,
+                          b3.CHUNK_START | b3.CHUNK_END | b3.ROOT, np)
         return np.stack(out, axis=-1)
     # generic fallback
     out = np.zeros((seed_words.shape[0], 8), dtype=np.uint32)

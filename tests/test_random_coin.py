@@ -83,3 +83,52 @@ def test_grinding_nonce_deterministic_lowest():
     for v in range(1, nonce):
         assert probe.public_coin.check_leading_zeros(v) < 6
     assert probe.public_coin.check_leading_zeros(nonce) >= 6
+
+
+def test_grinding_vectorized_matches_serial_per_hasher():
+    """The vectorized blake3 grinding path must return the same nonce as
+    the serial byte-API semantics for BOTH digest widths — blake3_192's
+    24-byte seed hit an assert in round 4 (channel.py _find_nonce padded
+    every seed to 32 bytes)."""
+    from types import SimpleNamespace
+
+    from starkpack_winterfell_tpu.crypto.hashers import get_hasher
+    from starkpack_winterfell_tpu.prover.channel import ProverChannel
+
+    for name in ("blake3_256", "blake3_192"):
+        hasher = get_hasher(name)
+        seed = hasher.hash(b"pow-seed-" + name.encode())
+        serial = 1
+        while True:
+            head = int.from_bytes(
+                hasher.merge_with_int(seed, serial)[:8], "little"
+            )
+            tz = 64 if head == 0 else (head & -head).bit_length() - 1
+            if tz >= 8:
+                break
+            serial += 1
+        ch = ProverChannel.__new__(ProverChannel)
+        ch.hasher = hasher
+        ch.public_coin = SimpleNamespace(seed=seed)
+        assert ch._find_nonce(8) == serial, name
+
+
+def test_blake3_192_grinding_end_to_end():
+    """f128 + blake3_192 + nonzero grinding factor — the exact round-4
+    failing configuration — proves and verifies."""
+    from starkpack_winterfell_tpu.air.options import (
+        FieldExtension,
+        ProofOptions,
+    )
+    from starkpack_winterfell_tpu.crypto.hashers import get_hasher
+    from starkpack_winterfell_tpu.models.fib_multifield import get_fib_family
+    from starkpack_winterfell_tpu.verifier.verifier import verify
+
+    air_cls, build_trace, prover_cls, _ = get_fib_family("f128")
+    options = ProofOptions(16, 8, 8, FieldExtension.NONE, 4, 3)
+    hasher = get_hasher("blake3_192")
+    prover = prover_cls(options, hasher)
+    traces = [build_trace(16)]
+    proof = prover.prove(1, traces)
+    assert verify(air_cls, proof,
+                  [prover.get_pub_inputs(t) for t in traces], hasher)
