@@ -79,6 +79,24 @@ def _tmap(f, *trees):
     return jax.tree.map(f, *trees)
 
 
+def _replicated(mesh, tree):
+    """Replicate every leaf across the mesh (one jitted identity with
+    out_shardings=P()).  A bare np.asarray on a 'dp'-sharded array works on
+    a single-process mesh but raises on a multi-process one (the array
+    spans non-addressable devices) — every host pull of sharded state must
+    go through this."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    k = _cached(
+        ("replicate", mesh),
+        lambda: jax.jit(
+            lambda t: t, out_shardings=NamedSharding(mesh, P())
+        ),
+    )
+    return k(tree)
+
+
 class BatchedAuxRand:
     """AuxTraceRandElements stand-in whose segment elements are Felt arrays
     shaped (n, 1) — one row per instance — so AIR code written against
@@ -910,8 +928,11 @@ def prove_mesh(prover, n: int, traces, mesh):
     else:
         # f64: materialize the coefficient tables to the host exactly once
         # (they feed the host OOD/DEEP math)
-        polys_h = _tmap(lambda a: np.asarray(a)[:n], polys_dev)
-        aux_polys_h = [_tmap(np.asarray, ap) for ap in aux_polys_dev]
+        polys_h = _tmap(lambda a: np.asarray(a)[:n],
+                        _replicated(mesh, polys_dev))
+        aux_polys_h = [
+            _tmap(np.asarray, _replicated(mesh, ap)) for ap in aux_polys_dev
+        ]
         traces_polys = [
             {
                 "main": tuple(tuple(l[i] for l in c) for c in polys_h),
@@ -1122,9 +1143,12 @@ class MeshFriProver:
                 break  # tiny tail layers: host path below
             evaluations = self._build_layer_sharded(channel, evaluations, m, N)
             built += 1
-        # remaining tiny layers + remainder on the host prover
+        # remaining tiny layers + remainder on the host prover (replicate
+        # first: the layers are row-sharded and a bare np.asarray raises on
+        # multi-process meshes)
         evaluations = tuple(
-            tuple(np.asarray(l) for l in c) for c in evaluations
+            tuple(np.asarray(l) for l in c)
+            for c in _replicated(self.mesh, evaluations)
         )
         for _ in range(total - built):
             evaluations = self._host._build_layer(channel, evaluations)
