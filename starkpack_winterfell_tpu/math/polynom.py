@@ -72,33 +72,58 @@ def degree_of(p) -> int:
     return 0
 
 
-def syn_div(p, a: int, b):
+def syn_div(p, a: int, b, spec=None):
     """Divide p by (x^a - b), returning the quotient (semantics of
     polynom/mod.rs:472; exact when (x^a - b) divides p)."""
+    o = _ops(spec)
     assert a != 0
     n = len(p)
-    q = [zero() for _ in range(n - a)]
+    q = [0 for _ in range(n - a)]
     for i in range(n - a - 1, -1, -1):
-        hi = q[i + a] if i + a < n - a else zero()
-        q[i] = fadd(p[i + a], fmul(b, hi))
+        hi = q[i + a] if i + a < n - a else 0
+        q[i] = o.fadd(p[i + a], o.fmul(b, hi))
     return q
 
 
-def syn_div_binomial(p, z):
+def syn_div_binomial(p, z, spec=None):
     """Divide p by (x - z) assuming p(z) == 0; returns quotient of len-1."""
+    o = _ops(spec)
     n = len(p)
-    q = [zero() for _ in range(n - 1)]
+    q = [0 for _ in range(n - 1)]
     acc = p[n - 1]
     for i in range(n - 2, -1, -1):
         q[i] = acc
-        acc = fadd(fmul(acc, z), p[i])
+        acc = o.fadd(o.fmul(acc, z), p[i])
     # acc is the remainder p(z); caller may assert it is zero
     return q
 
 
-def mul(p1, p2):
-    out = [zero() for _ in range(len(p1) + len(p2) - 1)]
+def mul(p1, p2, spec=None):
+    o = _ops(spec)
+    out = [0 for _ in range(len(p1) + len(p2) - 1)]
     for i, a in enumerate(p1):
         for j, b in enumerate(p2):
-            out[i + j] = fadd(out[i + j], fmul(a, b))
+            out[i + j] = o.fadd(out[i + j], o.fmul(a, b))
     return out
+
+
+def div(p1, p2, spec=None):
+    """Polynomial long division (polynom/mod.rs:330-360): returns the
+    quotient of p1 / p2, dropping the remainder; panics-equivalent asserts
+    on a zero or higher-degree divisor."""
+    o = _ops(spec)
+    a = list(p1)
+    apos = degree_of(a)
+    b = list(p2)
+    bpos = degree_of(b)
+    assert apos >= bpos, "divisor degree exceeds dividend degree"
+    assert not (bpos == 0 and is_zero(b[0])), "division by zero"
+    diff = apos - bpos
+    result = [0 for _ in range(diff + 1)]
+    for i in range(diff, -1, -1):
+        quot = o.fdiv(a[apos], b[bpos])
+        result[i] = quot
+        for j in range(bpos, -1, -1):
+            a[i + j] = o.fsub(a[i + j], o.fmul(b[j], quot))
+        apos -= 1
+    return result
