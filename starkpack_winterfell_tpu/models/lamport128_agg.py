@@ -270,6 +270,40 @@ def make_wallet(n_sigs: int, k: int = 127, seed: int = 0):
     return messages, pub_keys, sigs
 
 
+_PAD_WALLET_CACHE: dict = {}
+
+
+def pad_wallet(messages, pub_keys, sigs, bucket: int, k: int = 127):
+    """Extend a wallet to `bucket` signatures with deterministic dummy
+    keypairs signing fixed messages — canonical-size padding for the
+    first-proof-latency problem: the tunneled TPU pays a 12-30 min
+    UNCACHEABLE remote compile per (n, length) configuration, so a warm
+    process whose kernels were compiled for `bucket` proves any n <= bucket
+    at steady-state cost by padding instead of recompiling.
+
+    The proof attests the PADDED statement (bucket signatures, the first n
+    of them the caller's — standard batch padding; the verifier checks the
+    padded pub-key list).  Dummy keypairs are deterministic per (k, index)
+    and cached in-process, so repeated pads cost one native digest batch
+    the first time only."""
+    n = len(messages)
+    assert bucket >= n and bucket & (bucket - 1) == 0
+    m2, p2, s2 = list(messages), list(pub_keys), list(sigs)
+    for i in range(bucket - n):
+        key = (k, i)
+        if key not in _PAD_WALLET_CACHE:
+            secrets, pk_hashes, pub_key = keygen(k, seed=0x9AD0000 + i)
+            msg = (1 << (k - 1)) | (i + 1)  # top bit set (valid k-bit msg)
+            _PAD_WALLET_CACHE[key] = (
+                msg, pub_key, sign(secrets, pk_hashes, msg, k)
+            )
+        msg, pub_key, sig = _PAD_WALLET_CACHE[key]
+        m2.append(msg)
+        p2.append(pub_key)
+        s2.append(sig)
+    return m2, p2, s2
+
+
 def build_lamport128_agg_trace(messages, sigs, k: int = 127,
                                device_builder: bool = True) -> TraceTable:
     """One trace of n_sigs consecutive blocks; each block is bit-identical to

@@ -91,3 +91,27 @@ def test_agg_device_matches_host():
     dev = prover.prove(1, [trace], device=True)
     assert dev.to_bytes() == host.to_bytes()
     assert verify(agg.Lamport128AggAir, dev, [pub], Sha3_256)
+
+
+def test_pad_wallet_bucket_prove():
+    """Canonical-size padding (first-proof latency): a 3-sig wallet padded
+    to the 8-sig bucket builds a trace of the 8-sig shape (so a warm
+    process reuses the bucket's compiled kernels) and the padded proof
+    verifies against the padded pub-key list."""
+    k = 15
+    messages, pub_keys, sigs = agg.make_wallet(3, k, seed=21)
+    m2, p2, s2 = agg.pad_wallet(messages, pub_keys, sigs, 8, k)
+    assert m2[:3] == messages and p2[:3] == pub_keys
+    assert len(m2) == 8
+    trace = agg.build_lamport128_agg_trace(m2, s2, k)
+    ref_trace = agg.build_lamport128_agg_trace(
+        *agg.make_wallet(8, k, seed=3)[::2], k)
+    assert trace.length == ref_trace.length  # same kernel shapes
+    prover = agg.Lamport128AggProver(OPTIONS, Sha3_256, 8)
+    pub = prover.get_pub_inputs(trace)
+    assert pub.messages == m2 and pub.pub_keys == p2
+    proof = prover.prove(1, [trace])
+    assert verify(agg.Lamport128AggAir, proof, [pub], Sha3_256)
+    # padding is deterministic: same dummy wallet on a second pad
+    m3, p3, s3 = agg.pad_wallet(messages, pub_keys, sigs, 8, k)
+    assert m3 == m2 and p3 == p2
