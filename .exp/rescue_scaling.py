@@ -16,7 +16,9 @@ if "xla_cpu_use_fusion_emitters" not in _flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import faulthandler
 
-faulthandler.dump_traceback_later(5200, exit=True)
+faulthandler.dump_traceback_later(
+    int(os.environ.get("FH_TIMEOUT", "5200")), exit=True
+)
 
 from starkpack_winterfell_tpu import (
     Blake3_256,

@@ -11,6 +11,16 @@ from ..math import polynom, scalar as fs
 from .divisors import ConstraintDivisor
 
 
+def _inv_g_cached(field, g: int, _cache={}):
+    # one Fermat inverse per (field, generator), not one per instance of a
+    # batched verify
+    key = (field.name, g)
+    hit = _cache.get(key)
+    if hit is None:
+        hit = _cache[key] = pow(g, field.P - 2, field.P)
+    return hit
+
+
 class BoundaryConstraint:
     """boundary/constraint.rs:31 — single-column constraint with value poly."""
 
@@ -59,7 +69,7 @@ class BoundaryConstraintGroup:
         for c in self.constraints:
             evaluation = c.evaluate_at(x, state[c.column])
             numerator = o.fadd(numerator, o.fmul(evaluation, c.cc))
-        return o.fdiv(numerator, self.divisor.evaluate_at(x))
+        return o.fmul(numerator, self.divisor.inverse_at(x))
 
 
 class BoundaryConstraints:
@@ -77,9 +87,7 @@ class BoundaryConstraints:
         main_sorted = _prepare_assertions(main_assertions, main_width, trace_length)
         aux_sorted = _prepare_assertions(aux_assertions, aux_width, trace_length)
 
-        inv_g = pow(
-            context.trace_domain_generator, context.field.P - 2, context.field.P
-        )
+        inv_g = _inv_g_cached(context.field, context.trace_domain_generator)
 
         main_ccs = composition_coefficients[: len(main_sorted)]
         aux_ccs = composition_coefficients[len(main_sorted) :]

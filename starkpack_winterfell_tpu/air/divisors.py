@@ -28,6 +28,22 @@ def _evaluate_at_cached(field, numerator, exemptions, x, _cache={}):
     return hit
 
 
+def _inverse_at_cached(field, numerator, exemptions, x, _cache={}):
+    # every instance of a batch divides by the SAME divisor value at z, and
+    # a division is a full Fermat inverse — cache the inverse itself so a
+    # 32-instance verify pays one finv per distinct divisor, not 32
+    key = (field.name, numerator, exemptions, x)
+    hit = _cache.get(key)
+    if hit is None:
+        hit = _cache[key] = field.finv(
+            _evaluate_at_cached(field, numerator, exemptions, x)
+        )
+        if len(_cache) > 4096:
+            _cache.clear()
+            _cache[key] = hit
+    return hit
+
+
 class ConstraintDivisor:
     def __init__(self, numerator, exemptions, field=None):
         self.numerator = list(numerator)  # [(degree, constant int)]
@@ -69,6 +85,15 @@ class ConstraintDivisor:
                 o, tuple(self.numerator), tuple(self.exemptions), x
             )
         return self._evaluate_at(x)
+
+    def inverse_at(self, x):
+        """Memoized 1 / evaluate_at(x) for the verifier's scalar path."""
+        o = self.field
+        if isinstance(x, (int, tuple)):
+            return _inverse_at_cached(
+                o, tuple(self.numerator), tuple(self.exemptions), x
+            )
+        return o.finv(self._evaluate_at(x))
 
     def _evaluate_at(self, x):
         o = self.field

