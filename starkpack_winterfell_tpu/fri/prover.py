@@ -88,15 +88,35 @@ class FriProver:
         assert self.remainder_poly is not None, "FRI layers have not been built yet"
         layers = []
         if self.layers:
+            # per-layer positions fold deterministically from the drawn
+            # query positions — compute them all upfront so every layer's
+            # Merkle prefetch and row gather ride ONE dispatch + ONE
+            # transfer each (per-layer pulls cost a ~100 ms tunnel round
+            # trip per layer; the round-4 agg64 profile had the query
+            # phase at 484 ms, mostly these)
+            from ..crypto.merkle import MerkleTree
+            from ..utils.transfer import pull_rows_many
+
             positions = list(positions)
             domain_size = self.layers[0].m * self.layers[0].N
             N = self.options.folding_factor
-            for layer in self.layers:
+            layer_pos = []
+            for _ in self.layers:
                 positions = fold_positions(positions, domain_size, N)
+                layer_pos.append(positions)
+                domain_size //= N
+            MerkleTree.prefetch_trees(
+                [(layer.tree, pos)
+                 for layer, pos in zip(self.layers, layer_pos)]
+            )
+            gathered_all = pull_rows_many(
+                [(layer.transposed, pos, 0)
+                 for layer, pos in zip(self.layers, layer_pos)]
+            )
+            for layer, positions, gathered in zip(
+                self.layers, layer_pos, gathered_all
+            ):
                 proof = layer.tree.prove_batch(positions)
-                # row i of the transposed matrix = the N values for position
-                # i; one batched (device-aware) gather for all queried rows
-                gathered = pull_rows(layer.transposed, positions, 0)
                 rows = []
                 for i in range(len(positions)):
                     row_limbs = tuple(
@@ -104,7 +124,6 @@ class FriProver:
                     )
                     rows.append(limbs_to_elems(row_limbs, self.ext_deg))
                 layers.append(FriProofLayer.new(rows, proof, self.ext_deg))
-                domain_size //= N
         remainder = self.remainder_poly
         self.reset()
         return FriProof.new(layers, remainder, 1)
@@ -231,12 +250,28 @@ class LimbFriProver:
         proof_layers = []
         pos = list(positions)
         if self.layers:
+            # all layers' prefetches/gathers in one dispatch each — see
+            # FriProver.build_proof
+            from ..crypto.merkle import MerkleTree
+            from ..utils.transfer import pull_rows_many
+
             domain_size = self.layers[0][2] * self.layers[0][3]
             N = self.options.folding_factor
-            for transposed, tree, m, _ in self.layers:
+            layer_pos = []
+            for _ in self.layers:
                 pos = fold_positions(pos, domain_size, N)
+                layer_pos.append(pos)
+                domain_size //= N
+            MerkleTree.prefetch_trees(
+                [(t[1], p) for t, p in zip(self.layers, layer_pos)]
+            )
+            gathered_all = pull_rows_many(
+                [(t[0], p, 0) for t, p in zip(self.layers, layer_pos)]
+            )
+            for (transposed, tree, m, _), pos, gathered in zip(
+                self.layers, layer_pos, gathered_all
+            ):
                 mp = tree.prove_batch(pos)
-                gathered = pull_rows(transposed, pos, 0)
                 rows = []
                 for i in range(len(pos)):
                     row = tuple(B.cmap(lambda l: l[i], c) for c in gathered)
@@ -244,7 +279,6 @@ class LimbFriProver:
                 proof_layers.append(
                     FriProofLayer.new(rows, mp, self.ext_deg, spec)
                 )
-                domain_size //= N
         remainder = self.remainder_poly
         self.layers = []
         self.remainder_poly = None

@@ -422,6 +422,77 @@ def sharded_constraint_phase(mesh, B, air0, domain, ext_deg, n, plan):
     return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
 
 
+def _pcons_gate(d, plan, ext_deg, spec, n, domain):
+    """Fused-Pallas constraint-kernel eligibility (ops/pallas/cons_kernel):
+    single device, main segment only, no field extension, limb field, and
+    a ce domain that tiles (BS, 128).  Everything else keeps the XLA
+    formulation."""
+    from ..ops.pallas import cons_kernel
+
+    return (
+        d == 1
+        and not plan["has_aux"]
+        and ext_deg == 1
+        and spec.name in ("f64", "f62", "f128")
+        and domain.ce_size % (128 * 8) == 0
+        and cons_kernel.enabled()
+    )
+
+
+def pallas_constraint_phase(B, air0, domain, ext_deg, n, plan,
+                            interpret=None):
+    """Single-device fused constraint evaluation: frame slicing in XLA, the
+    whole constraint body as ONE pallas kernel (ops/pallas/cons_kernel).
+    Same operands as sharded_constraint_phase's jitted call except the
+    per-instance scalars arrive packed as one (n, NS, k) u32 bank.
+    Byte-identical to the XLA path (tests/test_cons_kernel.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas import cons_kernel
+
+    ce = domain.ce_size
+    shift = domain.ce_to_lde_blowup
+    blowup = domain.trace_to_lde_blowup
+    w = plan["w_main"]
+    K = len(plan["t_main_idx"])
+    groups = [tuple(g) for g in plan["groups"]]
+    n_singles = sum(1 for g in groups for (_, _, pl_len) in g if pl_len == 1)
+    seq_count = sum(1 for g in groups for (_, _, pl_len) in g if pl_len > 1)
+    periodic_count = len(plan["periodic_tabs"])
+
+    call = cons_kernel.build_call(
+        B, air0, groups, periodic_count, seq_count, n, w, K, n_singles,
+        ce, interpret=interpret,
+    )
+
+    def fn(main_rows, seqs, scal, div_tabs, periodic_tabs):
+        # frames from the (n, w, L) LDE rows — d == 1, so the ring
+        # neighbour of _frames_from_rows is the block itself
+        def cols(comps, sl):
+            out = []
+            for c in range(w):
+                planes = []
+                for comp in comps:
+                    for l in comp:
+                        le = jnp.concatenate([l, l[:, :, :blowup]], axis=2)
+                        planes.append(sl(le)[:, c])
+                out.append((tuple(planes),))
+            return out
+
+        cur_cols = cols(main_rows, lambda le: le[:, :, : -blowup : shift])
+        nxt_cols = cols(main_rows, lambda le: le[:, :, blowup::shift])
+        return call(cur_cols, nxt_cols, periodic_tabs, seqs, div_tabs, scal)
+
+    return jax.jit(fn)
+
+
+def _pack_scalar_bank(B, t_main, singles, ccs, fp_stack, n, K):
+    from ..ops.pallas.cons_kernel import pack_scalar_bank
+
+    return pack_scalar_bank(B, t_main, singles, ccs, fp_stack, n, K)
+
+
 def _build_plan(air0, template, domain, ext_deg, B, compact_periodic=False):
     """Static constraint structure shared by all instances: boundary groups
     in host-evaluator order (main groups, then aux groups merged into a
@@ -826,6 +897,20 @@ def prove_mesh(prover, n: int, traces, mesh):
             fp_stack, div_dev, per_dev,
         )
         main_rows_n = None
+    elif _pcons_gate(d, plan, ext_deg, spec, n, domain):
+        k2p = _cached(
+            ("pcons", mesh, B.spec.name, type(airs[0]).__qualname__,
+             domain.trace_length, domain.ce_size, n, w,
+             tuple(tuple(g) for g in plan["groups"])),
+            lambda: pallas_constraint_phase(B, airs[0], domain, ext_deg, n,
+                                            plan),
+        )
+        scal = _pack_scalar_bank(
+            B, t_main, singles, ccs, fp_stack, n,
+            len(plan["t_main_idx"]),
+        )
+        main_rows_n = _tmap(lambda a: a[:n], lde_rows)
+        final_comb_dev = k2p(main_rows_n, seqs, scal, div_dev, per_dev)
     else:
         k2 = _cached(
             ("cons", mesh, B.spec.name, type(airs[0]).__qualname__,

@@ -272,9 +272,28 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
         for _, m in seq_meta
     }
 
+    from ..ops.pallas import cons_kernel
+
+    groups_t = [tuple(g) for g in plan["groups"]]
+    n_singles = sum(1 for g in groups_t for (_, _, pl) in g if pl == 1)
+    use_pcons = (
+        ext_deg == 1
+        and spec_name in ("f64", "f62", "f128")
+        and length % (128 * 8) == 0
+        and cons_kernel.enabled()
+    )
+    pcall = (
+        cons_kernel.build_call(
+            B, air0, groups_t, len(plan["periodic_tabs"]), len(seq_meta),
+            n, w, K_main, n_singles, length,
+        )
+        if use_pcons
+        else None
+    )
+
     def make():
         def fn(polys, offs_full, rc, t_main, singles, seq_stacks, ccs,
-               final_powers, div_tabs, periodic_tabs):
+               final_powers, div_tabs, periodic_tabs, scal=None):
             offs = tuple(
                 l[None, None, :] for l in _dyn_row(offs_full, rc * shift)
             )
@@ -283,6 +302,42 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
             nxt_e = tuple(
                 tuple(jnp.roll(l, -1, axis=2) for l in c) for c in evals
             )
+
+            def seq_value(sq):
+                coeffs = seq_stacks[sq]
+                off_eff, m = seq_meta[sq]
+                scale = _dyn_row(scale_tabs[m], rc)  # (m,)
+                sc = tuple(
+                    B.bmul(c, tuple(l[None, :] for l in scale))
+                    for c in coeffs
+                )
+                return B.evaluate_poly_with_offset(sc, off_eff, length // m)
+
+            if pcall is not None:
+                # the whole constraint body as ONE fused pallas kernel
+                # (ops/pallas/cons_kernel) — frames/tables sliced here in
+                # XLA, math fused in VMEM; bit-identical to the XLA branch
+                cur_cols = [
+                    tuple(tuple(l[:, wi] for l in c) for c in evals)
+                    for wi in range(w)
+                ]
+                nxt_cols = [
+                    tuple(tuple(l[:, wi] for l in c) for c in nxt_e)
+                    for wi in range(w)
+                ]
+                per_sliced = [
+                    tuple(_coset_slice(c, rc, cb, length))
+                    for c in periodic_tabs
+                ]
+                seq_vals = [seq_value(sq) for sq in range(len(seq_meta))]
+                div_sliced = [
+                    tuple(_coset_slice(zt, rc, cb, length)) for zt in div_tabs
+                ]
+                return pcall(
+                    cur_cols, nxt_cols, per_sliced, seq_vals, div_sliced,
+                    scal,
+                )
+
             cur_f = [
                 Felt(tuple(tuple(l[:, wi] for l in c) for c in evals), B=B)
                 for wi in range(w)
@@ -318,16 +373,7 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
                         value = singles[sv]
                         sv += 1
                     else:
-                        coeffs = seq_stacks[sq]
-                        off_eff, m = seq_meta[sq]
-                        scale = _dyn_row(scale_tabs[m], rc)  # (m,)
-                        sc = tuple(
-                            B.bmul(c, tuple(l[None, :] for l in scale))
-                            for c in coeffs
-                        )
-                        value = B.evaluate_poly_with_offset(
-                            sc, off_eff, length // m
-                        )
+                        value = seq_value(sq)
                         sq += 1
                     diff = B.vsub(state, value)
                     acc = B.vadd(acc, B.vmul(ccs[ci], diff))
@@ -351,7 +397,7 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
     k_cons = _cached(
         ("stream_cons", spec_name, type(air0).__qualname__, length, ce,
          ext_deg, n, w, tuple(tuple(g) for g in plan["groups"]),
-         tuple(seq_meta)),
+         tuple(seq_meta), use_pcons),
         make,
     )
 
@@ -377,9 +423,15 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
              final_powers, div_dev, per_dev):
         import jax.numpy as jnp
 
+        scal = None
+        if pcall is not None:
+            scal = cons_kernel.pack_scalar_bank(
+                B, t_main, singles, ccs, final_powers, n, K_main
+            )
         parts = [
             k_cons(polys, offs_dev, jnp.uint32(rc), t_main, singles,
-                   seq_stacks, ccs, final_powers, div_dev, per_dev)
+                   seq_stacks, ccs, final_powers, div_dev, per_dev,
+                   scal)
             for rc in range(cb)
         ]
         return k_inter(parts)

@@ -291,6 +291,16 @@ def finish_proof(channel, airs, domain, options, ext_deg, B, spec, hasher,
     query_positions = channel.get_query_positions()
 
     # Phase 8: proof assembly (lib.rs:585-603)
+    # one combined prefetch for every segment/constraint tree's Merkle
+    # paths (device trees otherwise pay one tunnel round trip each inside
+    # prove_batch); the FRI layer trees batch their own inside build_proof
+    from ..crypto.merkle import MerkleTree
+
+    MerkleTree.prefetch_trees(
+        [(t, query_positions)
+         for t in [main_tree, *aux_trees, constraint_tree]
+         if t is not None]
+    )
     fri_proof = fri_prover.build_proof(query_positions)
     gathered = query_rows_fn is not None
     if gathered:
