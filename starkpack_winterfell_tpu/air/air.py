@@ -224,20 +224,21 @@ class Air:
         return [coin.draw(ext_deg) for _ in range(n)]
 
     def get_constraint_composition_coefficients(self, coin, ext_deg: int):
-        t = [coin.draw(ext_deg) for _ in range(self.context.num_transition_constraints())]
-        b = [coin.draw(ext_deg) for _ in range(self.context.num_assertions())]
-        return ConstraintCompositionCoefficients(t, b)
+        nt = self.context.num_transition_constraints()
+        nb = self.context.num_assertions()
+        vals = coin.draw_many(nt + nb, ext_deg)
+        return ConstraintCompositionCoefficients(vals[:nt], vals[nt:])
 
     def get_deep_composition_coefficients(self, airs, coin, ext_deg: int):
         """StarkPack per-trace coefficient vectors (mod.rs:521-547)."""
-        traces = []
-        for air in airs:
-            traces.append([coin.draw(ext_deg) for _ in range(air.trace_info().width())])
-        constraints = [
-            coin.draw(ext_deg)
-            for _ in range(self.context.num_constraint_composition_columns())
-        ]
-        return DeepCompositionCoefficients(traces, constraints)
+        widths = [air.trace_info().width() for air in airs]
+        nc = self.context.num_constraint_composition_columns()
+        vals = coin.draw_many(sum(widths) + nc, ext_deg)
+        traces, at = [], 0
+        for w in widths:
+            traces.append(vals[at : at + w])
+            at += w
+        return DeepCompositionCoefficients(traces, vals[at:])
 
 
 class ConstraintCompositionCoefficients:

@@ -60,6 +60,19 @@ class Blake3_256:
             [seed + (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little") for v in values]
         )
 
+    @classmethod
+    def hash_elements_many(cls, element_lists, elem_bytes: int = 8):
+        """One batched call for k independent hash_elements inputs (the
+        verifier's per-instance OOD-frame reseeds)."""
+        bufs = []
+        for elements in element_lists:
+            w = ByteWriter()
+            w.write_felts(elements, elem_bytes)
+            bufs.append(w.to_bytes())
+        return [
+            d[: cls.DIGEST_BYTES] for d in b3.hash_bytes_many(bufs)
+        ] if cls.DIGEST_BYTES != 32 else b3.hash_bytes_many(bufs)
+
     # -- device words api ---------------------------------------------------
 
     @staticmethod
@@ -190,6 +203,10 @@ class Sha3_256:
         w = ByteWriter()
         w.write_felts(elements, elem_bytes)
         return cls.hash(w.to_bytes())
+
+    @classmethod
+    def hash_elements_many(cls, element_lists, elem_bytes: int = 8):
+        return [cls.hash_elements(e, elem_bytes) for e in element_lists]
 
     @staticmethod
     def hash_words(words, byte_len: int):

@@ -102,6 +102,70 @@ class RandomCoin:
                 return comps[0] if deg == 1 else tuple(comps)
         raise RuntimeError("failed to draw a valid field element after 1000 tries")
 
+    def draw_many(self, k: int, deg: int = 1):
+        """k sequential draws — identical values and counter advancement to k
+        ``draw`` calls, but the PRNG block is parsed vectorized (one numpy
+        pass instead of k python int.from_bytes loops).  Rejected digests are
+        consumed exactly as the scalar path does."""
+        if k <= 0:
+            return []
+        batched = getattr(self.h, "merge_with_int_many", None)
+        eb = self.field.ELEMENT_BYTES
+        if batched is None or eb not in (8, 16) or k < 16:
+            # below ~16 draws the numpy parse overhead exceeds the loop
+            return [self.draw(deg) for _ in range(k)]
+        import numpy as np
+
+        modulus = self.field.P
+        nbytes = deg * eb
+        out = []
+        for _ in range(1000):
+            if len(out) >= k:
+                break
+            idx = self.counter + 1 - self._cache_start
+            if not (0 <= idx < len(self._cache)):
+                start = self.counter + 1
+                block = min(512, max(16, k - len(out) + 8))
+                self._cache = batched(self.seed, range(start, start + block))
+                self._cache_start = start
+                idx = 0
+            digests = self._cache[idx:]
+            if len(digests[0]) < nbytes:
+                # digest shorter than deg*eb (e.g. blake3_192 + f128 quad):
+                # keep the scalar path's short-read semantics
+                out.extend(self.draw(deg) for _ in range(k - len(out)))
+                return out
+            m = len(digests)
+            buf = np.frombuffer(
+                b"".join(d[:nbytes] for d in digests), dtype="<u8"
+            ).reshape(m, nbytes // 8)
+            if eb == 8:
+                ok = (buf < modulus).all(axis=1)
+            else:
+                lo, hi = buf[:, 0::2], buf[:, 1::2]
+                p_lo = modulus & 0xFFFFFFFFFFFFFFFF
+                p_hi = modulus >> 64
+                ok = ((hi < p_hi) | ((hi == p_hi) & (lo < p_lo))).all(axis=1)
+            acc = np.flatnonzero(ok)
+            take = min(k - len(out), len(acc))
+            if take == 0:
+                self.counter += m
+                continue
+            for i in acc[:take]:
+                row = buf[i]
+                if eb == 8:
+                    comps = tuple(int(v) for v in row)
+                else:
+                    comps = tuple(
+                        int(row[2 * c]) | (int(row[2 * c + 1]) << 64)
+                        for c in range(deg)
+                    )
+                out.append(comps[0] if deg == 1 else comps)
+            self.counter += int(acc[take - 1]) + 1
+        if len(out) < k:
+            raise RuntimeError("failed to draw enough valid field elements")
+        return out
+
     def draw_integers(self, num_values: int, domain_size: int):
         assert domain_size & (domain_size - 1) == 0, "domain size must be a power of two"
         assert num_values < domain_size

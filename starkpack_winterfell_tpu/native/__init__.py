@@ -202,6 +202,8 @@ def get_gl64mod():
                 f.restype = None
             lib.gl_matvec.argtypes = [sz, p, p, p, sz]
             lib.gl_matvec.restype = None
+            lib.gl_dot.argtypes = [sz, p, p, p, p, sz]
+            lib.gl_dot.restype = None
             lib.gl_ntt_stage.argtypes = [p, p, p, p, p, p, sz, sz]
             lib.gl_ntt_stage.restype = None
             lib.gl_expmod.argtypes = [p, p, ctypes.c_uint64, p, p, sz]

@@ -259,3 +259,25 @@ void gl_matvec(size_t w, const uint32_t **state, const uint64_t *m,
         }
     }
 }
+
+/* Fused dot product along the column axis: out[k] = sum_j state_j[k] * v[j]
+ * (mod p).  One pass over the data instead of w mul + (w-1) add full-array
+ * passes — the DEEP composer's per-query column combination.  state is one
+ * contiguous block shaped (w, 2, n): plane j's lo limbs at state + j*2n,
+ * hi limbs at state + j*2n + n.  Reduced products are < 2^64, so the u128
+ * accumulator is exact for w < 2^64. */
+void gl_dot(size_t w, const uint32_t *state, const uint64_t *v,
+            uint32_t *out_lo, uint32_t *out_hi, size_t n) {
+#pragma omp parallel for schedule(static) if (n * w >= 16384)
+    for (size_t k = 0; k < n; k++) {
+        unsigned __int128 acc = 0;
+        for (size_t j = 0; j < w; j++) {
+            const uint32_t *pl = state + j * 2 * n;
+            uint64_t s = (uint64_t)pl[k] | ((uint64_t)pl[n + k] << 32);
+            acc += gl_reduce128((unsigned __int128)s * v[j]);
+        }
+        uint64_t r = gl_reduce128(acc);
+        out_lo[k] = (uint32_t)r;
+        out_hi[k] = (uint32_t)(r >> 32);
+    }
+}

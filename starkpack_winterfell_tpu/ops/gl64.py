@@ -383,6 +383,31 @@ def mul_small(a, k: int):
     return _reduce128(l0, t, h1 + cc, xp.zeros_like(l0), xp)
 
 
+def dot_block(block, v):
+    """Fused modular dot product across columns: out[k] = sum_j s_j[k]*v[j].
+
+    block: ONE contiguous u32 array shaped (w, 2, n) — w (lo, hi) plane
+    pairs; v: list of w python ints.  One native pass (gl_dot) instead of
+    w mul + (w-1) add full-array passes — the DEEP composer hot shape.
+    Returns None when the native tier is unavailable (caller falls back)."""
+    lib = _native_mod()
+    if lib is None or block.size == 0:
+        return None
+    import ctypes
+
+    block = np.ascontiguousarray(block, dtype=_U32)
+    w, _, nn = block.shape
+    vec = np.asarray([int(x) % P for x in v], dtype=np.uint64)
+    rlo = np.empty(nn, dtype=_U32)
+    rhi = np.empty(nn, dtype=_U32)
+    p = ctypes.c_void_p
+    lib.gl_dot(
+        w, block.ctypes.data_as(p), vec.ctypes.data_as(p),
+        rlo.ctypes.data_as(p), rhi.ctypes.data_as(p), nn,
+    )
+    return rlo, rhi
+
+
 def mds_circulant(state, row0):
     """Circulant MDS multiply with small constants (Rescue/Griffin matrices
     have entries < 2^5): out_i = sum_j row0[(j - i) mod W] * s_j.

@@ -102,24 +102,50 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
     # periodic columns/values are identical across instances (same AIR class,
     # same z) — evaluate once
     shared_pv = _periodic_values_at(airs[0], z, spec)
-    for i, frame in enumerate(ood_traces_frame):
-        ev = _evaluate_constraints(
-            airs[i],
-            constraints_coeffs[i],
-            ood_main_frames[i],
-            ood_aux_frames[i],
-            aux_traces_rand_elements[i],
-            z,
-            ext_deg,
-            t1=None if t1_batch is None else t1_batch[i],
-            periodic_values=shared_pv,
-        )
-        public_coin.reseed(
-            hasher.hash_elements(frame.values(), spec.ELEMENT_BYTES)
-        )
+    # multi-instance no-aux proofs share the whole OOD-combination structure
+    # (constraint layout, assertion layout, divisors) — build it once and
+    # reduce the per-instance work to value/coefficient dot products
+    shared_ood = None
+    if ood_aux_frames[0] is None and len(airs) > 1:
+        shared_ood = _shared_ood_structure(airs[0], z, ext_deg, spec)
+    # all frame digests in one batched hash call; reseed order is unchanged
+    hem = getattr(hasher, "hash_elements_many", None)
+    frame_digests = (
+        hem([f.values() for f in ood_traces_frame], spec.ELEMENT_BYTES)
+        if hem is not None
+        else [
+            hasher.hash_elements(f.values(), spec.ELEMENT_BYTES)
+            for f in ood_traces_frame
+        ]
+    )
+    coeff_pow = fs.one(ext_deg) if ext_deg > 1 else 1
+    for i in range(len(ood_traces_frame)):
+        ev = None
+        if shared_ood is not None:
+            t1 = t1_batch[i] if t1_batch is not None else _scalar_t1(
+                airs[i], ood_main_frames[i], shared_pv, spec
+            )
+            ev = _fast_ood_eval(
+                airs[i], constraints_coeffs[i], ood_main_frames[i], t1,
+                ext_deg, fs, shared_ood,
+            )
+        if ev is None:
+            ev = _evaluate_constraints(
+                airs[i],
+                constraints_coeffs[i],
+                ood_main_frames[i],
+                ood_aux_frames[i],
+                aux_traces_rand_elements[i],
+                z,
+                ext_deg,
+                t1=None if t1_batch is None else t1_batch[i],
+                periodic_values=shared_pv,
+            )
+        public_coin.reseed(frame_digests[i])
         ood_constraint_evaluation = fs.fadd(
-            ood_constraint_evaluation, fs.fmul(ev, fs.fexp(final_coeff, i))
+            ood_constraint_evaluation, fs.fmul(ev, coeff_pow)
         )
+        coeff_pow = fs.fmul(coeff_pow, final_coeff)
 
     ood_constraint_evaluations = channel.read_ood_constraint_evaluations()
     ood2 = fs.zero(ext_deg) if ext_deg > 1 else 0
@@ -188,6 +214,90 @@ def _periodic_values_at(air, x, spec):
         xp = spec.fexp(x, num_cycles)
         values.append(polynom.eval_at(poly, xp, pspec))
     return values
+
+
+def _shared_ood_structure(air0, z, ext_deg, spec):
+    """Shared OOD-combination structure for a no-aux aggregated proof: the
+    instances of one StarkPack proof share the AIR class, trace length,
+    constraint layout and assertion layout — only coefficient and assertion
+    *values* are per-instance.  Returns (assertion structure, sorted order,
+    transition divisor inverse at z, boundary groups) built once from
+    instance 0, or None when per-instance interpolation is required
+    (sequence assertions) so the caller keeps the general path."""
+    from ..air.divisors import ConstraintDivisor
+
+    assertions0 = air0.get_assertions()
+    if any(a.is_sequence() for a in assertions0):
+        return None
+    ctx = air0.context
+    struct = tuple((a.column, a.first_step, a.stride) for a in assertions0)
+    order = sorted(
+        range(len(assertions0)), key=lambda j: assertions0[j]._key()
+    )
+    tdiv = ConstraintDivisor.from_transition(
+        ctx.trace_len(), ctx.num_transition_exemptions, ctx.field
+    )
+    t_inv = tdiv.inverse_at(z)
+    # group sorted assertions by divisor key; groups ordered by sorted key
+    # and paired with coefficients in sorted-assertion order — exactly
+    # boundary._group_constraints
+    groups, keys = {}, []
+    for p, j in enumerate(order):
+        a = assertions0[j]
+        key = (a.stride, a.first_step)
+        if key not in groups:
+            groups[key] = []
+            keys.append(key)
+        groups[key].append((p, j, a.column))
+    gdivs = []
+    for key in sorted(keys):
+        members = groups[key]
+        rep = assertions0[members[0][1]]
+        d = ConstraintDivisor.from_assertion(rep, ctx.trace_len(), ctx.field)
+        gdivs.append((d.inverse_at(z), members))
+    return struct, t_inv, gdivs
+
+
+def _scalar_t1(air, main_frame, periodic_values, spec):
+    """Per-instance main transition evals through the ScalarFelt path."""
+    from ..ops.backend import get_backend
+
+    B = get_backend(spec.name)
+    t1 = [None] * air.context.num_main_transition_constraints()
+    _scalar_evaluate(air, main_frame, periodic_values, t1, B)
+    return t1
+
+
+def _fast_ood_eval(air, coeffs, main_frame, t1, ext_deg, spec, shared):
+    """One instance's OOD constraint evaluation against the shared
+    structure: transition dot product x shared divisor inverse, plus
+    per-group boundary numerators — no per-instance object construction.
+    Returns None if this instance's assertion structure deviates from
+    instance 0's (caller falls back to the general path)."""
+    struct, t_inv, gdivs = shared
+    assertions = air.get_assertions()
+    if len(assertions) != len(struct) or any(
+        (a.column, a.first_step, a.stride) != s
+        for a, s in zip(assertions, struct)
+    ):
+        return None
+    s = spec.zero(ext_deg)
+    for ev, coef in zip(t1, coeffs.transition):
+        s = spec.fadd(s, spec.fmul(coef, ev))
+    result = spec.fmul(s, t_inv)
+    state = main_frame.current()
+    bcc = coeffs.boundary
+    for g_inv, members in gdivs:
+        num = spec.zero(ext_deg)
+        for p, j, col in members:
+            num = spec.fadd(
+                num,
+                spec.fmul(
+                    spec.fsub(state[col], assertions[j].values[0]), bcc[p]
+                ),
+            )
+        result = spec.fadd(result, spec.fmul(num, g_inv))
+    return result
 
 
 def _batch_main_transition_evals(airs, ood_main_frames, z, ext_deg):
@@ -466,6 +576,39 @@ class DeepComposer:
         n = len(queried_main_vec)
         w = queried_main_vec[0].num_columns()
 
+        # f64 base-field fast path: sum_i sum_j (T[i,:,j] - ood{0,1}[i,j])
+        # * k[i,j] distributes into ONE fused native dot over all n*w
+        # columns minus two scalar corrections — t1 and t2 share the dot.
+        if (d == 1 and self.fs.name == "f64" and queried_aux_vec is None
+                and all(t.words is not None for t in queried_main_vec)):
+            import numpy as np
+
+            from ..ops import gl64
+
+            P = self.fs.P
+            # (n, q, w, 2) -> one contiguous (n*w, 2, q) block
+            A = np.stack([t.words for t in queried_main_vec])
+            block = A.transpose(0, 2, 3, 1).reshape(n * w, 2, -1)
+            vs = [k for kk in self.cc.traces for k in kk[:w]]
+            c0 = c1 = 0
+            for i, f in enumerate(ood_main_frames):
+                kk = self.cc.traces[i]
+                cur, nxt = f.current(), f.next()
+                for j in range(w):
+                    c0 = (c0 + cur[j] * kk[j]) % P
+                    c1 = (c1 + nxt[j] * kk[j]) % P
+            S = gl64.dot_block(block, vs)
+            if S is not None:
+                Sc = (S,)
+                t1 = B.vsub(Sc, B.scalar_to_limbs(c0, 1))
+                t2 = B.vsub(Sc, B.scalar_to_limbs(c1, 1))
+                num = B.vadd(
+                    B.vmul(t1, self._t2_den), B.vmul(t2, self._t1_den)
+                )
+                den = B.vmul(self._t1_den, self._t2_den)
+                out = B.vmul(num, self._batch_inv_limbs(den))
+                return B.limbs_to_elems(out, 1)
+
         def stack_tables(tables, deg_in):
             if all(t.words is not None for t in tables):
                 import numpy as np
@@ -553,6 +696,21 @@ class DeepComposer:
 
     def compose_constraint_evaluations(self, queried_evaluations, ood_evaluations):
         B = self.B
+        if (self.ext_deg == 1 and self.fs.name == "f64"
+                and queried_evaluations.words is not None):
+            from ..ops import gl64
+
+            P = self.fs.P
+            Wd = queried_evaluations.words  # (q, ncols, 2)
+            block = Wd.transpose(1, 2, 0)
+            S = gl64.dot_block(block, list(self.cc.constraints))
+            if S is not None:
+                c = 0
+                for o, k in zip(ood_evaluations, self.cc.constraints):
+                    c = (c + o * k) % P
+                num = B.vsub((S,), B.scalar_to_limbs(c, 1))
+                out = B.vmul(num, self._batch_inv_limbs(self._t1_den))
+                return B.limbs_to_elems(out, 1)
         T = self._table_limbs(queried_evaluations, self.ext_deg)
         ood = self._states_limbs(ood_evaluations)
         k = self._cc_limbs(self.cc.constraints)

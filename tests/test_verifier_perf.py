@@ -1,0 +1,70 @@
+"""Verifier latency smoke (VERDICT r3 item 4; bar /root/reference/README.md:414).
+
+Clean-machine numbers (4-core host, 2026-08): do_work 32x1024 ~7 ms,
+rescue 2^14 ~5 ms, lamport-agg 256 ~15 ms — the reference's single-core
+verifier is 2-6 ms.  Assertions use ~4x margins so CI contention never
+flakes them; a regression that matters (a structural slow path coming
+back) is 5-10x, not 2x.
+"""
+
+import os
+import time
+
+import pytest
+
+from starkpack_winterfell_tpu import Blake3_256, FieldExtension, ProofOptions, verify
+from starkpack_winterfell_tpu.crypto.hashers import get_hasher
+
+
+def _min_verify_ms(air_cls, proof, pubs, hasher, iters=10):
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        assert verify(air_cls, proof, pubs, hasher)
+        best = min(best, time.perf_counter() - t0)
+    return 1e3 * best
+
+
+def test_do_work_verify_under_30ms():
+    from starkpack_winterfell_tpu.models.do_work import (
+        DoWorkAir, DoWorkProver, build_do_work_trace)
+
+    opts = ProofOptions(28, 8, 16, FieldExtension.NONE, 4, 31)
+    n = 32
+    traces = [build_do_work_trace(i + 1, 1024) for i in range(n)]
+    prover = DoWorkProver(opts, Blake3_256)
+    proof = prover.prove(n, traces)
+    pubs = [prover.get_pub_inputs(t) for t in traces]
+    ms = _min_verify_ms(DoWorkAir, proof, pubs, Blake3_256)
+    assert ms < 30.0, f"do_work 32x1024 verify regressed: {ms:.1f} ms"
+
+
+def test_rescue14_verify_under_25ms():
+    from starkpack_winterfell_tpu.models.rescue_chain import (
+        RescueChainAir, RescueChainProver, build_chain_trace)
+
+    opts = ProofOptions(28, 8, 16, FieldExtension.NONE, 4, 31)
+    traces = [build_chain_trace([7] * 8, (1 << 14) // 8)]
+    prover = RescueChainProver(opts, Blake3_256)
+    proof = prover.prove(1, traces)
+    pubs = [prover.get_pub_inputs(t) for t in traces]
+    ms = _min_verify_ms(RescueChainAir, proof, pubs, Blake3_256)
+    assert ms < 25.0, f"rescue 2^14 verify regressed: {ms:.1f} ms"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("STARKPACK_SLOW_TESTS"),
+    reason="agg256 host prove takes minutes; STARKPACK_SLOW_TESTS=1 runs it",
+)
+def test_agg256_verify_under_60ms():
+    from starkpack_winterfell_tpu.models import lamport128_agg as agg
+
+    B192 = get_hasher("blake3_192")
+    opts = ProofOptions(28, 8, 0, FieldExtension.NONE, 4, 7)
+    msgs, pks, sigs = agg.make_wallet(256, seed=1)
+    trace = agg.build_lamport128_agg_trace(msgs, sigs, device_builder=False)
+    prover = agg.Lamport128AggProver(opts, B192, 256)
+    proof = prover.prove(1, [trace])
+    pubs = [prover.get_pub_inputs(trace)]
+    ms = _min_verify_ms(agg.Lamport128AggAir, proof, pubs, B192)
+    assert ms < 60.0, f"lamport-agg 256 verify regressed: {ms:.1f} ms"
