@@ -269,7 +269,11 @@ def build_call(B, air0, plan_groups, periodic_count, seq_count, n, w, K,
         if not interpret:
             from jax.experimental.pallas import tpu as pltpu
 
-            kwargs["compiler_params"] = pltpu.TPUCompilerParams(
+            # jax renamed TPUCompilerParams -> CompilerParams; support both
+            cp = getattr(pltpu, "CompilerParams", None) or getattr(
+                pltpu, "TPUCompilerParams"
+            )
+            kwargs["compiler_params"] = cp(
                 dimension_semantics=("parallel", "arbitrary")
             )
         res = pl.pallas_call(
