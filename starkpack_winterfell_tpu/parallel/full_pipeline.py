@@ -1217,10 +1217,32 @@ class MeshFriProver:
         self.mesh = mesh
 
     def build_layers(self, channel, evaluations):
+        import os
+
+        from ..ops import device_coin
+
         d = self.mesh.devices.size
         N = self.options.folding_factor
         total = self.options.num_fri_layers(evaluations[0][0].shape[-1])
         built = 0
+        # device-resident coin: the per-layer reseed+draw runs on device so
+        # the whole sharded-layer loop is asynchronous dispatches — no root
+        # pull / alpha push round trip per layer; the host replays the
+        # transcript from ONE batched root pull afterwards
+        from ..math.fieldspec import GL64_SPEC
+
+        spec = GL64_SPEC if self.B is None else self.B.spec
+        self._dc = (
+            os.environ.get("STARKPACK_DEVCOIN", "1") != "0"
+            and device_coin.supported(self.hasher, spec, self.ext_deg)
+        )
+        self._dc_spec = spec
+        self._seed_words = None
+        self._pending_roots = []
+        if self._dc:
+            self._seed_words = device_coin.seed_to_words(
+                self.hasher, channel.public_coin.seed
+            )
         for _ in range(total):
             L = evaluations[0][0].shape[-1]
             m = L // N
@@ -1228,6 +1250,15 @@ class MeshFriProver:
                 break  # tiny tail layers: host path below
             evaluations = self._build_layer_sharded(channel, evaluations, m, N)
             built += 1
+        if self._pending_roots:
+            import jax.numpy as jnp
+
+            roots = np.asarray(jnp.stack(self._pending_roots))  # one pull
+            for rw in roots:
+                channel.commit_fri_layer(
+                    device_coin.words_to_digest(self.hasher, rw)
+                )
+                channel.draw_fri_alpha()
         # remaining tiny layers + remainder on the host prover (replicate
         # first: the layers are row-sharded and a bare np.asarray raises on
         # multi-process meshes)
@@ -1273,9 +1304,19 @@ class MeshFriProver:
                         for x in inv_offs)
         _, sub_l, top_l = fold_fn(transposed, zero_l, inv_dev)
         tree = MerkleTree(assemble_levels(sub_l, top_l), self.hasher)
-        channel.commit_fri_layer(tree.root())
-        alpha = channel.draw_fri_alpha()
-        alpha_l = to_limbs(alpha)
+        if self._dc:
+            from ..ops import device_coin
+
+            coin_fn = device_coin.reseed_draw_fn(
+                self.hasher, self._dc_spec, self.ext_deg
+            )
+            root_words = top_l[-1][0]  # (8,) replicated device digest
+            self._seed_words, alpha_l = coin_fn(self._seed_words, root_words)
+            self._pending_roots.append(root_words)
+        else:
+            channel.commit_fri_layer(tree.root())
+            alpha = channel.draw_fri_alpha()
+            alpha_l = to_limbs(alpha)
         folded, _, _ = fold_fn(transposed, alpha_l, inv_dev)
         # keep the transposed layer device-resident; the proof builder
         # gathers just the queried rows (a full f128 layer at 2^23 is
