@@ -65,8 +65,16 @@ SPLIT_CAP = 256
 # Tests set True/False explicitly for bit-exactness differentials.
 ENABLED = None
 
+#: set (scoped) while tracing a Pallas kernel body: the int8 digit matrices
+#: would be closure-captured constants, which pallas_call rejects — and an
+#: MXU matmul inside a VPU-tile kernel is not the engagement this cost
+#: model measured anyway (ops/pallas/cons_kernel.py sets this).
+SUPPRESS = False
+
 
 def enabled(xp) -> bool:
+    if SUPPRESS:
+        return False
     if ENABLED is not None:
         return ENABLED
     if xp is np:

@@ -276,15 +276,25 @@ def build_call(B, air0, plan_groups, periodic_count, seq_count, n, w, K,
             kwargs["compiler_params"] = cp(
                 dimension_semantics=("parallel", "arbitrary")
             )
-        res = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=out_specs,
-            out_shape=out_shape,
-            interpret=interpret,
-            **kwargs,
-        )(*ops)
+        # the kernel body must not closure-capture constant arrays
+        # (pallas_call rejects them); suppress the MXU matvec path, whose
+        # int8 digit matrices would be exactly that, for the trace
+        from .. import mxu_ntt
+
+        saved = mxu_ntt.SUPPRESS
+        mxu_ntt.SUPPRESS = True
+        try:
+            res = pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+                **kwargs,
+            )(*ops)
+        finally:
+            mxu_ntt.SUPPRESS = saved
         return (tuple(r.reshape(ce) for r in res),)
 
     return call

@@ -105,3 +105,58 @@ def test_pcons_lamport_agg_byte_identity():
     trace2 = agg.build_lamport128_agg_trace(messages, sigs)
     dev_proof = _with_kernel(lambda: prover.prove(1, [trace2], device=True))
     assert dev_proof.to_bytes() == host_proof.to_bytes()
+
+
+def test_pcons_compiled_trace_no_captured_constants():
+    """Trace the NON-interpret kernel (the TPU branch) with a constraint
+    body that applies an f128 MDS: pallas_call rejects kernels that
+    closure-capture constant arrays, which is exactly how the MXU matvec's
+    int8 digit matrices killed every round-4 agg job on the chip
+    (.exp/queue/results.jsonl agg64_b192_r4b) while the interpret-mode
+    tests stayed green.  jax.eval_shape runs the kernel-to-jaxpr trace
+    (where the capture check lives) without Mosaic lowering, so this is
+    CPU-cheap."""
+    import jax
+    import jax.numpy as jnp
+
+    from starkpack_winterfell_tpu.ops import felt as feltmod, mxu_ntt
+    from starkpack_winterfell_tpu.ops.backend import get_backend
+
+    B = get_backend("f128")
+    w = K = 4
+    n, ce, k = 2, 256, 4
+    rows = [[i * 7 + j * 3 + 1 for j in range(w)] for i in range(w)]
+
+    class _Ctx:
+        @staticmethod
+        def num_transition_constraints():
+            return K
+
+    class _MdsAir:
+        context = _Ctx()
+
+        def evaluate_transition(self, frame, pv, result):
+            outs = feltmod.mds_apply(frame.current(), rows)
+            nxt = frame.next()
+            for i in range(K):
+                result[i] = outs[i] - nxt[i]
+
+    groups = [[("main", 0, 1)]]
+    call = cons_kernel.build_call(
+        B, _MdsAir(), groups, 0, 0, n, w, K, 1, ce, interpret=False
+    )
+    cur = [
+        (tuple(jnp.zeros((n, ce), jnp.uint32) for _ in range(k)),)
+        for _ in range(w)
+    ]
+    div = [
+        tuple(jnp.zeros((ce,), jnp.uint32) for _ in range(k))
+        for _ in range(1 + len(groups))
+    ]
+    scal = jnp.zeros((n, K + 1 + 1 + 1, 128), jnp.uint32)
+    old = mxu_ntt.ENABLED
+    mxu_ntt.ENABLED = True  # force the capture-prone path if unsuppressed
+    try:
+        jax.eval_shape(call, cur, cur, [], [], div, scal)
+    finally:
+        mxu_ntt.ENABLED = old
