@@ -158,12 +158,23 @@ def build_call(B, air0, plan_groups, periodic_count, seq_count, n, w, K,
     if BS is None:
         BS = DEFAULT_BS
     S = ce // LANES
-    while BS > 1 and S % BS:
-        BS //= 2
-    grid = (S // BS, n)
     k = len(B.b_zeros((), np))  # limb planes per element
     n_ccs = sum(len(g) for g in plan_groups)
     NS = K + n_singles + n_ccs + 1
+    n_div = 1 + len(plan_groups)
+    # scoped-VMEM plan: Mosaic's default 16 MB limit counts every input
+    # block plus the body's live temporaries — the lamport-agg body
+    # (268 input planes) measured 19.77 MB at BS=128 and OOMed it.  The
+    # compiler params below raise the limit to 96 MB (same as ntt4), and
+    # BS additionally halves until the input blocks fit 32 MB (any BS is
+    # byte-identical: the grid only re-chunks the domain axis; the
+    # per-point math and instance-accumulation order are unchanged).
+    in_planes = (2 * w + periodic_count + seq_count + n_div + 1) * k
+    while BS > 8 and in_planes * BS * LANES * 4 > 32 * 1024 * 1024:
+        BS //= 2
+    while BS > 1 and S % BS:
+        BS //= 2
+    grid = (S // BS, n)
 
     inst_spec = pl.BlockSpec((1, BS, LANES), lambda j, i: (i, j, 0))
     shared_spec = pl.BlockSpec((BS, LANES), lambda j, i: (j, 0))
@@ -171,8 +182,6 @@ def build_call(B, air0, plan_groups, periodic_count, seq_count, n, w, K,
     # 128-lane tiles); only lanes [0, k) are populated
     scal_spec = pl.BlockSpec((1, NS, LANES), lambda j, i: (i, 0, 0))
     out_spec = pl.BlockSpec((BS, LANES), lambda j, i: (j, 0))
-
-    n_div = 1 + len(plan_groups)
 
     def kernel(*refs):
         pos = 0
@@ -274,7 +283,8 @@ def build_call(B, air0, plan_groups, periodic_count, seq_count, n, w, K,
                 pltpu, "TPUCompilerParams"
             )
             kwargs["compiler_params"] = cp(
-                dimension_semantics=("parallel", "arbitrary")
+                dimension_semantics=("parallel", "arbitrary"),
+                vmem_limit_bytes=96 * 1024 * 1024,
             )
         # the kernel body must not closure-capture constant arrays
         # (pallas_call rejects them); suppress the MXU matvec path, whose
