@@ -416,6 +416,14 @@ class FieldBackend:
         """[1, b, b^2, ...] as one base component."""
         raise NotImplementedError
 
+    def eval_base_poly_at(self, c0, x: int):
+        """Vectorized scalar poly eval; None = no fast path (f64's python
+        Horner is already fast — 64-bit int mulmods)."""
+        return None
+
+    def eval_int_poly_at(self, poly, x: int):
+        return None
+
     def get_root_of_unity(self, log_n: int) -> int:
         return self.spec.get_root_of_unity(log_n)
 
@@ -662,6 +670,58 @@ class LimbBackend(FieldBackend):
         b = self.F.from_int(base % self.P, (1,))
         c = self.F._pow_series(tuple(np.asarray(l) for l in b), n, np)
         return self.cmap(xp.asarray, c)
+
+    def eval_base_poly_at(self, c0, x: int):
+        """Evaluate a base-field polynomial held as limb planes (shape (n,))
+        at a python-int point, exactly.  Two-level power decomposition
+        p(x) = sum_i x^i sum_j p[j*c+i] (x^c)^j turns the n sequential
+        python mulmods of Horner into ONE vectorized limb multiply + a
+        log-tree sum + ~2*sqrt(n) scalar mulmods — the verifier's sequence-
+        assertion and periodic polys are n=256..4096 where this is ~10x.
+        Returns None (caller falls back to Horner) for tiny or odd sizes
+        (below ~512 python-int Horner is already sub-0.2 ms and wins on a
+        contended box where small native calls pay queueing delay)."""
+        n = int(c0[0].size)
+        if n < 512 or n & (n - 1):
+            return None
+        F = self.F
+        x %= self.P
+        cw = 1 << ((n - 1).bit_length() + 1) // 2  # chunk width ~ sqrt(n)
+        r = n // cw
+        y = pow(x, cw, self.P)
+        pw = [1] * r
+        for i in range(1, r):
+            pw[i] = pw[i - 1] * y % self.P
+        pwl = F.from_ints(pw)
+        pw_full = [
+            np.ascontiguousarray(np.broadcast_to(pl.reshape(r, 1), (r, cw)))
+            for pl in pwl
+        ]
+        cr = [np.ascontiguousarray(np.asarray(pl).reshape(r, cw)) for pl in c0]
+        prod = F.mul(cr, pw_full)
+        inner = self.vsum((tuple(prod),), axis=0)[0]
+        vals = F.to_ints(inner)
+        acc = 0
+        for c in reversed(vals):
+            acc = (acc * x + c) % self.P
+        return acc
+
+    def eval_int_poly_at(self, poly, x: int, _cache={}):
+        """eval_base_poly_at for a python-int coefficient list, with the
+        limb conversion cached per poly object (periodic polys are
+        class-level cached by the AIRs, so identity is stable across
+        verifies).  Returns None when the fast path does not apply."""
+        n = len(poly)
+        if n < 512 or n & (n - 1) or not isinstance(poly[0], int):
+            return None
+        key = (self.spec.name, id(poly))
+        hit = _cache.get(key)
+        if hit is None or hit[0] is not poly:
+            if len(_cache) > 256:
+                _cache.clear()
+            hit = (poly, self.F.from_ints(poly))
+            _cache[key] = hit
+        return self.eval_base_poly_at(hit[1], x)
 
 
 def tuple_of_comps_map(f, comps):

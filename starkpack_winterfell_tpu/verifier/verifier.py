@@ -208,11 +208,24 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
 
 def _periodic_values_at(air, x, spec):
     pspec = None if spec.name == "f64" else spec
+    B = None
+    if pspec is not None:
+        from ..ops.backend import get_backend
+
+        B = get_backend(spec.name)
     values = []
     for poly in air.get_periodic_column_polys():
         num_cycles = air.trace_length() // len(poly)
         xp = spec.fexp(x, num_cycles)
-        values.append(polynom.eval_at(poly, xp, pspec))
+        v = None
+        if B is not None and isinstance(xp, int):
+            # long periodic polys (the agg AIRs carry 1024-entry ones) take
+            # the vectorized limb eval; the limb conversion is cached per
+            # poly object (AIRs cache their periodic polys class-level)
+            v = B.eval_int_poly_at(poly, xp)
+        if v is None:
+            v = polynom.eval_at(poly, xp, pspec)
+        values.append(v)
     return values
 
 
@@ -234,8 +247,9 @@ def _shared_ood_structure(air0, z, ext_deg, spec):
     order = sorted(
         range(len(assertions0)), key=lambda j: assertions0[j]._key()
     )
+    n_exemptions = ctx.num_transition_exemptions
     tdiv = ConstraintDivisor.from_transition(
-        ctx.trace_len(), ctx.num_transition_exemptions, ctx.field
+        ctx.trace_len(), n_exemptions, ctx.field
     )
     t_inv = tdiv.inverse_at(z)
     # group sorted assertions by divisor key; groups ordered by sorted key
@@ -255,7 +269,7 @@ def _shared_ood_structure(air0, z, ext_deg, spec):
         rep = assertions0[members[0][1]]
         d = ConstraintDivisor.from_assertion(rep, ctx.trace_len(), ctx.field)
         gdivs.append((d.inverse_at(z), members))
-    return struct, t_inv, gdivs
+    return struct, t_inv, gdivs, n_exemptions
 
 
 def _scalar_t1(air, main_frame, periodic_values, spec):
@@ -274,10 +288,16 @@ def _fast_ood_eval(air, coeffs, main_frame, t1, ext_deg, spec, shared):
     per-group boundary numerators — no per-instance object construction.
     Returns None if this instance's assertion structure deviates from
     instance 0's (caller falls back to the general path)."""
-    struct, t_inv, gdivs = shared
+    struct, t_inv, gdivs, n_exemptions = shared
+    # an instance whose exemption count or assertion structure deviates from
+    # instance 0's (incl. a sequence assertion sharing a single/periodic
+    # signature — len(values) != 1 needs polynomial interpolation) must take
+    # the general path
+    if air.context.num_transition_exemptions != n_exemptions:
+        return None
     assertions = air.get_assertions()
     if len(assertions) != len(struct) or any(
-        (a.column, a.first_step, a.stride) != s
+        (a.column, a.first_step, a.stride) != s or len(a.values) != 1
         for a, s in zip(assertions, struct)
     ):
         return None

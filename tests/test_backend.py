@@ -148,3 +148,26 @@ def test_rows_to_words_matches_serde(name):
     w.write_felts(row, B.ELEMENT_BYTES)
     want = np.frombuffer(w.to_bytes(), dtype="<u4")
     np.testing.assert_array_equal(np.asarray(words).reshape(-1), want)
+
+
+@pytest.mark.parametrize("name", ["f62", "f128"])
+def test_eval_base_poly_at_matches_horner(name):
+    """Vectorized scalar poly eval (verifier sequence/periodic polys) must
+    equal python-int Horner exactly, at and around the engagement size."""
+    from starkpack_winterfell_tpu.math import polynom
+
+    B = get_backend(name)
+    rng = np.random.default_rng(7)
+    for n in (512, 1024, 2048):
+        poly = [int(v) % B.P for v in rng.integers(0, 1 << 62, n)]
+        x = int(rng.integers(1, 1 << 60))
+        want = polynom.eval_at(poly, x, B.spec)
+        got = B.eval_base_poly_at(B.F.from_ints(poly), x)
+        assert got == want
+        got2 = B.eval_int_poly_at(poly, x)
+        assert got2 == want
+        # cached second call must not go stale
+        assert B.eval_int_poly_at(poly, x) == want
+    # below the engagement size the fast path declines
+    assert B.eval_int_poly_at([1] * 256, 3) is None
+    assert B.eval_base_poly_at(B.F.from_ints([1] * 96), 3) is None
