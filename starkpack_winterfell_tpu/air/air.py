@@ -164,10 +164,18 @@ class Air:
             return cached
         from .boundary import _interpolate_subgroup
 
-        polys = [
-            _interpolate_subgroup(col, self.context.field)
-            for col in self.get_periodic_column_values()
-        ]
+        cols = self.get_periodic_column_values()
+        for col in cols:
+            # air/src/air/mod.rs get_periodic_column_polys validation
+            assert len(col) >= 2, (
+                "number of values in a periodic column must be at least 2, "
+                f"but was {len(col)}"
+            )
+            assert len(col) & (len(col) - 1) == 0, (
+                "number of values in a periodic column must be a power of "
+                f"two, but was {len(col)}"
+            )
+        polys = [_interpolate_subgroup(col, self.context.field) for col in cols]
         Air._periodic_polys_cache[key] = polys
         return polys
 

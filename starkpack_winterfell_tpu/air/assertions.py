@@ -51,7 +51,10 @@ class Assertion:
         return len(self.values) > 1
 
     def get_num_steps(self, trace_length: int) -> int:
-        """assertions/mod.rs — 1 for single, trace_length/stride otherwise."""
+        """assertions/mod.rs — 1 for single, trace_length/stride otherwise;
+        panics (raises) on an invalid trace length like the reference
+        (air/src/air/assertions/tests.rs periodic_assertion_get_num_steps_error)."""
+        self.validate_trace_length(trace_length)
         return 1 if self.is_single() else trace_length // self.stride
 
     # -- validation ---------------------------------------------------------
