@@ -726,10 +726,14 @@ def prove_mesh(prover, n: int, traces, mesh):
     # memory run the coset-streamed kernels instead (same bytes out)
     from . import streamed as _streamed
 
+    layout = traces[0].get_info().layout
+    w_eff = w + sum(layout.aux_segment_widths) * ext_deg
     stream = spec.name != "f64" and _streamed.should_stream(
-        n_pad, w, length, blowup, B.ELEMENT_BYTES, d,
-        traces[0].num_aux_segments() > 0,
+        n_pad, w_eff, length, blowup, B.ELEMENT_BYTES, d
     )
+    # fail fast (pre-trace) when the one-shot path cannot fit the budget
+    _streamed.preflight_check(n_pad, w_eff, length, blowup,
+                              B.ELEMENT_BYTES, d, stream)
     offs_dev = None
 
     # ---- P1: sharded main-trace commitment ----
@@ -786,14 +790,24 @@ def prove_mesh(prover, n: int, traces, mesh):
         w_aux = aux_segments[0][0][0].shape[0]
         aux_widths.append(w_aux)
         stacked_aux = _stack_segments(aux_segments, n_pad)
-        k1a = _cached(
-            ("seg", mesh, B.spec.name, hasher, n, n_pad, w_aux, length,
-             blowup, offset, ext_deg),
-            lambda: sharded_segment_commit(mesh, B, hasher, n, n_pad, w_aux,
-                                           length, blowup, offset, ext_deg),
-        )
-        apolys, arows, asub, atop = k1a(stacked_aux)
-        aux_tree = MerkleTree(assemble_levels(asub, atop), hasher)
+        if stream:
+            commit_a = _streamed.streamed_segment_commit(
+                B, hasher, n, w_aux, length, blowup, offset, ext_deg,
+                _cached,
+            )
+            apolys, alevels, _ = commit_a(stacked_aux)
+            aux_tree = MerkleTree(alevels, hasher)
+            arows = None
+        else:
+            k1a = _cached(
+                ("seg", mesh, B.spec.name, hasher, n, n_pad, w_aux, length,
+                 blowup, offset, ext_deg),
+                lambda: sharded_segment_commit(mesh, B, hasher, n, n_pad,
+                                               w_aux, length, blowup,
+                                               offset, ext_deg),
+            )
+            apolys, arows, asub, atop = k1a(stacked_aux)
+            aux_tree = MerkleTree(assemble_levels(asub, atop), hasher)
         channel.commit_trace(aux_tree.root())
         aux_trees.append(aux_tree)
         aux_rows_list.append(arows)
@@ -895,6 +909,8 @@ def prove_mesh(prover, n: int, traces, mesh):
         final_comb_dev = cons_call(
             polys_dev, offs_dev, t_main, singles, seq_stacks, ccs,
             fp_stack, div_dev, per_dev,
+            aux_polys=tuple(aux_polys_dev), t_aux=t_aux,
+            aux_rand_stacks=tuple(tuple(s) for s in aux_rand_stacks),
         )
         main_rows_n = None
     elif _pcons_gate(d, plan, ext_deg, spec, n, domain):
@@ -1028,7 +1044,9 @@ def prove_mesh(prover, n: int, traces, mesh):
             }
             for i in range(n)
         ]
-    aux_rows_dev = [_tmap(lambda a: a[:n], x) for x in aux_rows_list]
+    aux_rows_dev = [
+        _tmap(lambda a: a[:n], x) for x in aux_rows_list if x is not None
+    ]
 
     if stream:
         # queried LDE rows are re-derived from the coefficient tables coset
@@ -1036,6 +1054,7 @@ def prove_mesh(prover, n: int, traces, mesh):
         query_rows = _streamed.streamed_query_rows(
             B, n, w, num_cols, trace_length, blowup, ext_deg, _cached,
             offs_dev, polys_dev, comp_columns,
+            aux_polys=aux_polys_dev, aux_widths=aux_widths,
         )
     else:
         def query_rows(positions):

@@ -64,16 +64,42 @@ def budget_bytes() -> int:
 
 def oneshot_peak_estimate(n_pad: int, w: int, length: int, blowup: int,
                           el_bytes: int) -> int:
-    """Upper-bound estimate of the one-shot mesh pipeline's peak HBM demand."""
+    """Upper-bound estimate of the one-shot mesh pipeline's peak HBM demand.
+    `w` is the EFFECTIVE width: main width + aux widths x ext degree."""
     lde = n_pad * w * length * blowup * el_bytes
     return ONESHOT_PEAK_FACTOR * lde
 
 
-def should_stream(n_pad, w, length, blowup, el_bytes, d, has_aux) -> bool:
-    if d != 1 or has_aux:
+def should_stream(n_pad, w, length, blowup, el_bytes, d, has_aux=False) -> bool:
+    """Aux-segment AIRs stream too (round 5); only a mesh with d > 1 keeps
+    the sharded one-shot path (its per-device share is already 1/d of the
+    peak — prove_mesh preflight-checks that share against the budget and
+    fails fast instead of OOMing after a multi-hour compile)."""
+    if d != 1:
         return False
     return oneshot_peak_estimate(n_pad, w, length, blowup,
                                  el_bytes) > budget_bytes()
+
+
+def preflight_check(n_pad, w_eff, length, blowup, el_bytes, d, stream):
+    """Fail fast BEFORE tracing when the chosen path cannot fit the budget
+    (VERDICT r4 item 3: should_stream returning False must not mean 'OOM
+    after a 2-hour compile').  Override with STARKPACK_HBM_PREFLIGHT=0."""
+    if stream or os.environ.get("STARKPACK_HBM_PREFLIGHT") == "0":
+        return
+    demand = oneshot_peak_estimate(n_pad, w_eff, length, blowup, el_bytes)
+    per_device = demand // max(d, 1)
+    if per_device > budget_bytes():
+        from ..errors import ProverError
+
+        raise ProverError(
+            f"one-shot pipeline projects ~{demand / 1e9:.1f} GB peak HBM "
+            f"(~{per_device / 1e9:.1f} GB/device over {d} devices) against "
+            f"a {budget_bytes() / 1e9:.1f} GB budget; the coset-streamed "
+            f"path only runs single-device — use a 1-device mesh, raise "
+            f"STARKPACK_HBM_BUDGET, or set STARKPACK_HBM_PREFLIGHT=0 to "
+            f"attempt it anyway"
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -257,7 +283,10 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
     shift = domain.ce_to_lde_blowup
     length = domain.trace_length
     K_main = len(plan["t_main_idx"])
+    K_aux = len(plan["t_aux_idx"])
     w = plan["w_main"]
+    w_aux = plan["w_aux"]
+    has_aux = plan["has_aux"]
     spec_name = B.spec.name
 
     assert ce == length * cb
@@ -278,6 +307,7 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
     n_singles = sum(1 for g in groups_t for (_, _, pl) in g if pl == 1)
     use_pcons = (
         ext_deg == 1
+        and not has_aux
         and spec_name in ("f64", "f62", "f128")
         and length % (128 * 8) == 0
         and cons_kernel.enabled()
@@ -293,7 +323,8 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
 
     def make():
         def fn(polys, offs_full, rc, t_main, singles, seq_stacks, ccs,
-               final_powers, div_tabs, periodic_tabs, scal=None):
+               final_powers, div_tabs, periodic_tabs, scal=None,
+               aux_polys=(), t_aux=(), aux_rand=()):
             offs = tuple(
                 l[None, None, :] for l in _dyn_row(offs_full, rc * shift)
             )
@@ -363,12 +394,48 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
                              for c in t_main)
                 combined = B.vadd(combined, B.vmul(coef, ev.c))
 
+            aux_cur_f = None
+            if has_aux and aux_polys:
+                # aux segment evals per coset, same scheme as main (the aux
+                # polys carry ext-degree comps; bmul/NTT map per component)
+                from .full_pipeline import BatchedAuxRand
+
+                a_scaled = tuple(B.bmul(c, offs) for c in aux_polys[0])
+                a_evals = B.evaluate_poly_with_offset(a_scaled, 1, 1)
+                a_nxt = tuple(
+                    tuple(jnp.roll(l, -1, axis=2) for l in c)
+                    for c in a_evals
+                )
+                aux_cur_f = [
+                    Felt(tuple(tuple(l[:, wi] for l in c) for c in a_evals),
+                         B=B)
+                    for wi in range(w_aux)
+                ]
+                aux_nxt_f = [
+                    Felt(tuple(tuple(l[:, wi] for l in c) for c in a_nxt),
+                         B=B)
+                    for wi in range(w_aux)
+                ]
+                aux_frame = EvaluationFrame(aux_cur_f, aux_nxt_f)
+                rand = BatchedAuxRand(
+                    [[Felt(e, B=B) for e in seg] for seg in aux_rand]
+                )
+                a_result = [None] * K_aux
+                air0.evaluate_aux_transition(frame, aux_frame, pv, rand,
+                                             a_result)
+                for k_i, ev in enumerate(a_result):
+                    coef = tuple(tuple(l[:, k_i:k_i + 1] for l in c)
+                                 for c in t_aux)
+                    combined = B.vadd(combined, B.vmul(coef, ev.c))
+
             columns = [combined]
             sv = sq = ci = 0
             for group in plan["groups"]:
                 acc = B.vzeros((n, length), ext_deg, jnp)
                 for seg, column, poly_len in group:
-                    state = cur_f[column].c
+                    state = (cur_f if seg == "main" else aux_cur_f)[
+                        column
+                    ].c
                     if poly_len == 1:
                         value = singles[sv]
                         sv += 1
@@ -396,7 +463,8 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
 
     k_cons = _cached(
         ("stream_cons", spec_name, type(air0).__qualname__, length, ce,
-         ext_deg, n, w, tuple(tuple(g) for g in plan["groups"]),
+         ext_deg, n, w, w_aux, has_aux,
+         tuple(tuple(g) for g in plan["groups"]),
          tuple(seq_meta), use_pcons),
         make,
     )
@@ -420,7 +488,8 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
                       make_interleave)
 
     def call(polys, offs_dev, t_main, singles, seq_stacks, ccs,
-             final_powers, div_dev, per_dev):
+             final_powers, div_dev, per_dev, aux_polys=(), t_aux=(),
+             aux_rand_stacks=()):
         import jax.numpy as jnp
 
         scal = None
@@ -431,7 +500,7 @@ def streamed_constraint_kernel(B, air0, domain, ext_deg, n, plan, seq_meta,
         parts = [
             k_cons(polys, offs_dev, jnp.uint32(rc), t_main, singles,
                    seq_stacks, ccs, final_powers, div_dev, per_dev,
-                   scal)
+                   scal, aux_polys, t_aux, aux_rand_stacks)
             for rc in range(cb)
         ]
         return k_inter(parts)
@@ -494,11 +563,13 @@ def streamed_comp_commit(B, hasher, num_cols, length, blowup, ext_deg,
 
 
 def streamed_query_rows(B, n, w, num_cols, length, blowup, ext_deg, _cached,
-                        offs_dev, polys, comp_columns):
+                        offs_dev, polys, comp_columns, aux_polys=(),
+                        aux_widths=()):
     """Returns query_rows(positions) with the finish_proof contract: the
     queried LDE columns are re-derived from the coefficient tables, coset by
     coset (same kernels as the commit -> identical values -> the Merkle
-    paths from the committed trees verify)."""
+    paths from the committed trees verify).  aux_polys: per-segment stacked
+    coefficient comps (ext degree) re-derived with the same gather."""
     import jax
     import jax.numpy as jnp
 
@@ -536,9 +607,16 @@ def streamed_query_rows(B, n, w, num_cols, length, blowup, ext_deg, _cached,
         # fixed padded width -> one compile per (config, bucket)
         qp = 8 * ((max(len(v) for v in by_coset.values()) + 7) // 8)
         kt = _cached(
-            ("stream_qtrace", spec_name, n, w, length, qp),
+            ("stream_qtrace", spec_name, n, w, length, qp, 1),
             lambda: make_trace_gather(qp),
         )
+        kas = [
+            _cached(
+                ("stream_qtrace", spec_name, n, wa, length, qp, ext_deg),
+                lambda: make_trace_gather(qp),
+            )
+            for wa in aux_widths
+        ]
         kc = _cached(
             ("stream_qcomp", spec_name, num_cols, length, ext_deg, qp),
             lambda: make_comp_gather(qp),
@@ -549,14 +627,20 @@ def streamed_query_rows(B, n, w, num_cols, length, blowup, ext_deg, _cached,
             q_idx = np.zeros(qp, dtype=np.int32)
             q_idx[: len(entries)] = [e[0] for e in entries]
             tg = kt(polys, offs_dev, jnp.uint32(r), jnp.asarray(q_idx))
+            ags = [
+                ka(ap, offs_dev, jnp.uint32(r), jnp.asarray(q_idx))
+                for ka, ap in zip(kas, aux_polys)
+            ]
             cg = kc(comp_columns, offs_dev, jnp.uint32(r),
                     jnp.asarray(q_idx))
-            pieces.append((tg, cg))
+            pieces.append((tg, ags, cg))
             metas.append(entries)
         # ONE packed pull for everything
         flat = []
-        for tg, cg in pieces:
+        for tg, ags, cg in pieces:
             flat.extend(l for c in tg for l in c)
+            for ag in ags:
+                flat.extend(l for c in ag for l in c)
             flat.extend(l for c in cg for l in c)
         planes = pull_planes(flat)
         it = iter(planes)
@@ -569,13 +653,26 @@ def streamed_query_rows(B, n, w, num_cols, length, blowup, ext_deg, _cached,
                   for c in polys)
             for _ in range(n)
         ]
+        aux_np = [
+            [
+                tuple(tuple(np.zeros((wa, q), dtype=np.uint32)
+                            for _ in c) for c in ap)
+                for _ in range(n)
+            ]
+            for wa, ap in zip(aux_widths, aux_polys)
+        ]
         comp_np = tuple(
             tuple(np.zeros((num_cols, q), dtype=np.uint32)
                   for _ in range(nl_c))
             for _ in range(deg_c)
         )
-        for (tg, cg), entries in zip(pieces, metas):
+        for (tg, ags, cg), entries in zip(pieces, metas):
             t_pulled = [[next(it) for _ in range(nl)] for _ in range(deg_t)]
+            a_pulled = [
+                [[next(it) for _ in range(len(ap[0]))]
+                 for _ in range(len(ap))]
+                for ap in aux_polys
+            ]
             c_pulled = [[next(it) for _ in range(nl_c)]
                         for _ in range(deg_c)]
             for slot, (_q, pi) in enumerate(entries):
@@ -584,9 +681,15 @@ def streamed_query_rows(B, n, w, num_cols, length, blowup, ext_deg, _cached,
                         for i in range(n):
                             main_np[i][c][l][:, pi] = \
                                 t_pulled[c][l][i, :, slot]
+                for si, ap in enumerate(aux_polys):
+                    for c in range(len(ap)):
+                        for l in range(len(ap[0])):
+                            for i in range(n):
+                                aux_np[si][i][c][l][:, pi] = \
+                                    a_pulled[si][c][l][i, :, slot]
                 for c in range(deg_c):
                     for l in range(nl_c):
                         comp_np[c][l][:, pi] = c_pulled[c][l][:, slot]
-        return main_np, [], comp_np
+        return main_np, aux_np, comp_np
 
     return query_rows

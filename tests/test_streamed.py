@@ -98,12 +98,13 @@ class StreamTestProver(Prover):
 
 def test_stream_gate_calibration():
     # lamport-agg 1024 (the round-3 OOM: 27.3 GB demanded) must stream...
-    assert streamed.should_stream(1, 14, 1 << 20, 8, 16, 1, False)
+    assert streamed.should_stream(1, 14, 1 << 20, 8, 16, 1)
     # ...agg-64 (ran fine one-shot in round 3) must not
-    assert not streamed.should_stream(1, 14, 1 << 16, 8, 16, 1, False)
-    # mesh >1 device and aux configs keep the sharded one-shot path
-    assert not streamed.should_stream(1, 14, 1 << 20, 8, 16, 8, False)
-    assert not streamed.should_stream(1, 14, 1 << 20, 8, 16, 1, True)
+    assert not streamed.should_stream(1, 14, 1 << 16, 8, 16, 1)
+    # a mesh with d > 1 keeps the sharded one-shot path (preflight-guarded);
+    # aux configs stream like main-only ones since round 5
+    assert not streamed.should_stream(1, 14, 1 << 20, 8, 16, 8)
+    assert streamed.should_stream(1, 14, 1 << 20, 8, 16, 1, True)
 
 
 def test_streamed_byte_identical(monkeypatch):
@@ -123,3 +124,169 @@ def test_streamed_byte_identical(monkeypatch):
 
     pub = [prover.get_pub_inputs(t) for t in traces]
     assert verify(StreamTestAir, streamed_proof, pub, Sha3_256)
+
+
+# ---------------------------------------------------------------------------
+# Aux-segment streaming (round 5, VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+
+from starkpack_winterfell_tpu.air.trace_info import TraceInfo, TraceLayout
+from starkpack_winterfell_tpu.ops.backend import get_backend
+from starkpack_winterfell_tpu.ops.felt import Felt
+
+FP = F128_SPEC.P
+
+
+class AuxPub:
+    def __init__(self, a0, b0):
+        self.a0, self.b0 = a0, b0
+
+    def to_elements(self):
+        return [self.a0, self.b0]
+
+
+class StreamAuxAir(Air):
+    """f128 grand-product permutation AIR (one aux segment, one aux rand
+    element) — the limb-field analog of models/permutation.py, used to pin
+    the coset-streamed aux path byte-identical to the host pipeline."""
+
+    def __init__(self, trace_info, pub_inputs, options):
+        self.context = AirContext(
+            trace_info,
+            [TransitionConstraintDegree(1)],
+            2,
+            options,
+            aux_transition_constraint_degrees=[TransitionConstraintDegree(2)],
+            num_aux_assertions=2,
+            field=F128_SPEC,
+        )
+        self.a0 = pub_inputs.a0
+        self.b0 = pub_inputs.b0
+
+    def evaluate_transition(self, frame, periodic_values, result):
+        result[0] = frame.next()[1] - frame.current()[0]
+
+    def get_assertions(self):
+        return [
+            Assertion.single(0, 0, self.a0),
+            Assertion.single(1, 0, self.b0),
+        ]
+
+    def evaluate_aux_transition(
+        self, main_frame, aux_frame, periodic_values, aux_rand_elements,
+        result,
+    ):
+        gamma = aux_rand_elements.get_segment_elements(0)[0]
+        if not isinstance(gamma, Felt):
+            B = get_backend("f128")
+            gamma = Felt(B.scalar_to_limbs(gamma, 1, (1,)), B=B)
+        a_next = main_frame.next()[0]
+        b_next = main_frame.next()[1]
+        p = aux_frame.current()[0]
+        p_next = aux_frame.next()[0]
+        result[0] = p_next * (b_next + gamma) - p * (a_next + gamma)
+
+    def get_aux_assertions(self, aux_rand_elements):
+        gamma = aux_rand_elements.get_segment_elements(0)[0]
+        fs = F128_SPEC
+        first = fs.fdiv(fs.fadd(self.a0, gamma), fs.fadd(self.b0, gamma))
+        return [
+            Assertion.single(0, 0, first),
+            Assertion.single(0, self.trace_length() - 1, 1),
+        ]
+
+
+class StreamAuxTrace(TraceTable):
+    def get_info(self):
+        layout = TraceLayout(2, (1,), (1,))
+        return TraceInfo.new_multi_segment(layout, self.length, self.meta)
+
+    def num_aux_segments(self):
+        return 1
+
+    def build_aux_segment(self, seg_idx, rand_elements):
+        assert seg_idx == 0
+        gamma = rand_elements[0]
+        fs = F128_SPEC
+        deg = 1 if isinstance(gamma, int) else len(gamma)
+        a = [int(v) for v in self._columns[0]]
+        b = [int(v) for v in self._columns[1]]
+        p, acc = [], fs.one(deg) if deg > 1 else 1
+        for i in range(self.length):
+            acc = fs.fmul(
+                acc, fs.fdiv(fs.fadd(a[i], gamma), fs.fadd(b[i], gamma))
+            )
+            p.append(acc)
+        B = get_backend("f128")
+        comps = B.elems_to_limbs(p, deg)
+        return tuple(
+            tuple(np.asarray(l).reshape(1, self.length) for l in c)
+            for c in comps
+        )
+
+
+def build_aux_trace(start: int, length: int) -> StreamAuxTrace:
+    a, x = [], start % FP
+    for _ in range(length):
+        a.append(x)
+        x = (x * x + 1) % FP
+    b = [a[-1]] + a[:-1]
+    return StreamAuxTrace.init([a, b], field="f128")
+
+
+class StreamAuxProver(Prover):
+    air_class = StreamAuxAir
+
+    def __init__(self, options, hasher):
+        self._options = options
+        self.hasher = hasher
+
+    def get_pub_inputs(self, trace):
+        return AuxPub(trace.get(0, 0), trace.get(1, 0))
+
+    def options(self):
+        return self._options
+
+
+def test_streamed_aux_byte_identical(monkeypatch):
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    n = 2
+    traces = [build_aux_trace(5 + i, 32) for i in range(n)]
+    prover = StreamAuxProver(options, Sha3_256)
+    host_proof = prover.prove(n, traces)
+
+    mesh = make_mesh(1)
+    oneshot_proof = prove_mesh(
+        prover, n, [build_aux_trace(5 + i, 32) for i in range(n)], mesh
+    )
+    assert oneshot_proof.to_bytes() == host_proof.to_bytes()
+
+    monkeypatch.setenv("STARKPACK_HBM_BUDGET", "1")
+    streamed_proof = prove_mesh(
+        prover, n, [build_aux_trace(5 + i, 32) for i in range(n)], mesh
+    )
+    assert streamed_proof.to_bytes() == host_proof.to_bytes()
+
+    pub = [prover.get_pub_inputs(t) for t in traces]
+    assert verify(StreamAuxAir, streamed_proof, pub, Sha3_256)
+
+
+def test_preflight_fails_fast_on_mesh(monkeypatch):
+    """d > 1 cannot stream: an over-budget config must raise BEFORE tracing
+    (not OOM after a multi-hour compile)."""
+    from starkpack_winterfell_tpu.errors import ProverError
+
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    traces = [build_stream_trace(7, 11, 32)]
+    prover = StreamTestProver(options, Sha3_256)
+    monkeypatch.setenv("STARKPACK_HBM_BUDGET", "1")
+    mesh = make_mesh(2)
+    with pytest.raises(ProverError, match="peak HBM"):
+        prove_mesh(prover, 1, traces, mesh)
+    # explicit override attempts the one-shot path anyway
+    monkeypatch.setenv("STARKPACK_HBM_PREFLIGHT", "0")
+    monkeypatch.setenv("STARKPACK_HBM_BUDGET", str(10**10))
+    proof = prove_mesh(prover, 1, traces, mesh)
+    assert verify(
+        StreamTestAir, proof, [prover.get_pub_inputs(traces[0])], Sha3_256
+    )
