@@ -68,12 +68,29 @@ ENABLED = None
 #: set (scoped) while tracing a Pallas kernel body: the int8 digit matrices
 #: would be closure-captured constants, which pallas_call rejects — and an
 #: MXU matmul inside a VPU-tile kernel is not the engagement this cost
-#: model measured anyway (ops/pallas/cons_kernel.py sets this).
+#: model measured anyway.  The module global remains honored for backward
+#: compatibility, but scoped suppression should use ``suppressed()`` (a
+#: contextvar — reentrant and safe under concurrent traces; advisor r4).
 SUPPRESS = False
+
+import contextlib as _contextlib
+import contextvars as _contextvars
+
+_SUPPRESS_CTX = _contextvars.ContextVar("mxu_ntt_suppress", default=False)
+
+
+@_contextlib.contextmanager
+def suppressed():
+    """Scoped MXU suppression for Pallas kernel-body traces."""
+    token = _SUPPRESS_CTX.set(True)
+    try:
+        yield
+    finally:
+        _SUPPRESS_CTX.reset(token)
 
 
 def enabled(xp) -> bool:
-    if SUPPRESS:
+    if SUPPRESS or _SUPPRESS_CTX.get():
         return False
     if ENABLED is not None:
         return ENABLED

@@ -288,12 +288,25 @@ def build_call(B, air0, plan_groups, periodic_count, seq_count, n, w, K,
             )
         # the kernel body must not closure-capture constant arrays
         # (pallas_call rejects them); suppress the MXU matvec path, whose
-        # int8 digit matrices would be exactly that, for the trace
+        # int8 digit matrices would be exactly that, for the trace.  The
+        # contextvar scope is reentrant/thread-safe (advisor r4); fall back
+        # to the module global if an older mxu_ntt is loaded mid-upgrade.
+        import contextlib
+
         from .. import mxu_ntt
 
-        saved = mxu_ntt.SUPPRESS
-        mxu_ntt.SUPPRESS = True
-        try:
+        scope = getattr(mxu_ntt, "suppressed", None)
+        if scope is None:
+            @contextlib.contextmanager
+            def scope():
+                saved = mxu_ntt.SUPPRESS
+                mxu_ntt.SUPPRESS = True
+                try:
+                    yield
+                finally:
+                    mxu_ntt.SUPPRESS = saved
+
+        with scope():
             res = pl.pallas_call(
                 kernel,
                 grid=grid,
@@ -303,8 +316,6 @@ def build_call(B, air0, plan_groups, periodic_count, seq_count, n, w, K,
                 interpret=interpret,
                 **kwargs,
             )(*ops)
-        finally:
-            mxu_ntt.SUPPRESS = saved
         return (tuple(r.reshape(ce) for r in res),)
 
     return call
