@@ -211,12 +211,33 @@ class StreamAuxTrace(TraceTable):
         deg = 1 if isinstance(gamma, int) else len(gamma)
         a = [int(v) for v in self._columns[0]]
         b = [int(v) for v in self._columns[1]]
-        p, acc = [], fs.one(deg) if deg > 1 else 1
-        for i in range(self.length):
-            acc = fs.fmul(
-                acc, fs.fdiv(fs.fadd(a[i], gamma), fs.fadd(b[i], gamma))
-            )
-            p.append(acc)
+        if deg == 1:
+            # running product with ONE Montgomery-batched inversion (a
+            # per-row Fermat inverse is ~5 us x 2^20 rows at the on-chip
+            # demo size, .exp/aux_stream_bench.py)
+            P = fs.P
+            dens = [(v + gamma) % P for v in b]
+            prefix = [1] * (self.length + 1)
+            for i, v in enumerate(dens):
+                prefix[i + 1] = prefix[i] * v % P
+            inv = pow(prefix[self.length], P - 2, P)
+            p, acc = [0] * self.length, 1
+            inv_suffix = [0] * self.length
+            for i in range(self.length - 1, -1, -1):
+                inv_suffix[i] = inv
+                inv = inv * dens[i] % P
+            for i in range(self.length):
+                inv_d = prefix[i] * inv_suffix[i] % P
+                acc = acc * ((a[i] + gamma) % P) % P * inv_d % P
+                p[i] = acc
+        else:
+            p, acc = [], fs.one(deg)
+            for i in range(self.length):
+                acc = fs.fmul(
+                    acc,
+                    fs.fdiv(fs.fadd(a[i], gamma), fs.fadd(b[i], gamma)),
+                )
+                p.append(acc)
         B = get_backend("f128")
         comps = B.elems_to_limbs(p, deg)
         return tuple(
