@@ -37,6 +37,33 @@ def get_example(name: str):
             RescueChainProver,
             lambda i, l: build_chain_trace([i + 1] * 8, l),
         )
+    if name == "rescue-chain-pad":
+        import os
+
+        from .rescue_chain_pad import (
+            RescueChainPadAir,
+            RescueChainPadProver,
+            build_padded_chain_trace,
+        )
+
+        # -l = LIVE chain length (permutations), any value; the trace is
+        # padded to a canonical bucket (next pow2, or STARKPACK_PAD_BUCKET
+        # perms) so one compiled executable serves every length <= bucket
+        holder = {}
+
+        def build_pad(i, l):
+            bucket = int(
+                os.environ.get(
+                    "STARKPACK_PAD_BUCKET", max(4, 1 << (l - 1).bit_length())
+                )
+            )
+            holder["n_live"] = l
+            return build_padded_chain_trace([i + 1] * 8, l, bucket)
+
+        def make_prover(options, hasher):
+            return RescueChainPadProver(options, hasher, holder["n_live"])
+
+        return RescueChainPadAir, make_prover, build_pad
     if name == "lamport":
         from .lamport import LamportAir, LamportProver, build_lamport_trace, keygen, sign
         from .rescue_chain import CYCLE_LENGTH
@@ -114,7 +141,8 @@ def get_example(name: str):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("example", choices=[
-        "do-work", "fib", "rescue-chain", "rescue128-chain", "perm", "lamport",
+        "do-work", "fib", "rescue-chain", "rescue-chain-pad",
+        "rescue128-chain", "perm", "lamport",
         "lamport128", "lamport128-agg", "merkle128", "fib-f62", "fib-f128",
     ])
     p.add_argument("-n", "--num-traces", type=int, default=2)
