@@ -160,3 +160,22 @@ def test_pcons_compiled_trace_no_captured_constants():
         jax.eval_shape(call, cur, cur, [], [], div, scal)
     finally:
         mxu_ntt.ENABLED = old
+
+
+def test_pcons_padded_rescue_byte_identity():
+    """The canonical-bucket rescue AIR adds a FULL-period periodic column
+    (the n_live selector) — a new table-shape class for the fused kernel;
+    the TPU pad-family runs engage pcons, so pin byte identity here."""
+    from starkpack_winterfell_tpu.crypto.hashers import Blake3_256
+    from starkpack_winterfell_tpu.models.rescue_chain_pad import (
+        RescueChainPadProver,
+        build_padded_chain_trace,
+    )
+
+    options = ProofOptions(16, 8, 0, FieldExtension.NONE, 4, 3)
+    trace = build_padded_chain_trace([7] * 8, 10, 16)
+    prover = RescueChainPadProver(options, Blake3_256, 10)
+    host_proof = prover.prove(1, [trace])
+    trace2 = build_padded_chain_trace([7] * 8, 10, 16)
+    dev_proof = _with_kernel(lambda: prover.prove(1, [trace2], device=True))
+    assert dev_proof.to_bytes() == host_proof.to_bytes()
