@@ -31,47 +31,47 @@ class BoundaryConstraint:
         self.column = assertion.column
         poly = list(assertion.values)
         self.poly_offset = (0, 1)
-        self._poly_limbs = None  # (backend, limb planes) for sequence polys
-        self._poly = poly
-        if len(poly) > 1:
-            if assertion.first_step != 0:
-                x_offset = pow(inv_g, assertion.first_step, field.P)
-                self.poly_offset = (assertion.first_step, x_offset)
-            # interpolate the sequence values over a subgroup of size len;
-            # limb fields keep the coefficients in limb form (the verifier
-            # evaluates them vectorized and the int materialization — one
-            # python int per limb per coefficient — is deferred until a
-            # prover path actually asks for .poly)
-            from ..ops.backend import get_backend
-
-            B = get_backend(field.name)
-            deg = field.deg_of(poly[0])
-            coeffs = B.interpolate_poly(B.elems_to_limbs(poly, deg))
-            if field.name != "f64" and deg == 1:
-                self._poly_limbs = (B, coeffs[0])
-                self._poly = None
-            else:
-                self._poly = B.limbs_to_elems(coeffs, deg)
+        self._values = poly if len(poly) > 1 else None  # raw sequence values
+        self._poly = poly if len(poly) == 1 else None   # interpolated, lazy
+        if len(poly) > 1 and assertion.first_step != 0:
+            x_offset = pow(inv_g, assertion.first_step, field.P)
+            self.poly_offset = (assertion.first_step, x_offset)
         self.cc = composition_coefficient
 
     @property
     def poly(self):
+        """Interpolated sequence polynomial — computed on first access
+        (prover paths need the coefficients; the verifier's evaluate_at
+        avoids interpolation entirely via native barycentric eval)."""
         if self._poly is None:
-            B, c0 = self._poly_limbs
-            self._poly = B.limbs_to_elems((c0,), 1)
+            from ..ops.backend import get_backend
+
+            B = get_backend(self.field.name)
+            deg = self.field.deg_of(self._values[0])
+            coeffs = B.interpolate_poly(B.elems_to_limbs(self._values, deg))
+            self._poly = B.limbs_to_elems(coeffs, deg)
         return self._poly
 
     def evaluate_at(self, x, trace_value):
         """constraint.rs:104-112 — host scalar."""
         o = self.field
-        if self._poly_limbs is None and len(self._poly) == 1:
+        if self._values is None:
             assertion_value = self._poly[0]
         else:
             xx = o.fmul(x, self.poly_offset[1])
             assertion_value = None
-            if self._poly_limbs is not None and isinstance(xx, int):
-                B, c0 = self._poly_limbs
-                assertion_value = B.eval_base_poly_at(c0, xx)
+            n = len(self._values)
+            if (o.deg_of(self._values[0]) == 1 and n & (n - 1) == 0
+                    and (o.name != "f64" or n >= 32)):
+                # barycentric eval straight from the sequence values (same
+                # unique interpolant, exact arithmetic -> identical result)
+                from ..verifier import native_scalar as ns
+
+                if ns.available():
+                    ctx = ns.get_ctx(o, o.deg_of(xx))
+                    arr = ns.pack_base_cached(ctx, self._values)
+                    w = o.get_root_of_unity(n.bit_length() - 1)
+                    assertion_value = ns.barycentric_eval(ctx, arr, w, xx)
             if assertion_value is None:
                 spec = None if o.name == "f64" else o
                 assertion_value = polynom.eval_at(self.poly, xx, spec)

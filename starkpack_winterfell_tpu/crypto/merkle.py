@@ -265,9 +265,31 @@ class BatchMerkleProof:
 
     def __init__(self, leaves, nodes, depth: int, hasher):
         self.leaves = leaves
-        self.nodes = nodes
+        self._nodes = nodes
         self.depth = depth
         self.h = hasher
+        # contiguous serialized form kept by deserialize: the native root
+        # check consumes the blob directly (no per-digest slicing/joining)
+        self._node_blob = None
+        self._node_counts = None
+
+    @property
+    def nodes(self):
+        if self._nodes is None:
+            D = self.h.DIGEST_BYTES
+            blob, counts = self._node_blob, self._node_counts
+            out, off = [], 0
+            for c in counts:
+                out.append(
+                    [blob[off + i * D : off + (i + 1) * D] for i in range(c)]
+                )
+                off += c * D
+            self._nodes = out
+        return self._nodes
+
+    @nodes.setter
+    def nodes(self, v):
+        self._nodes = v
 
     def get_root(self, indexes) -> bytes:
         """proofs.rs:135-268 — resolves the aggregated paths to a root."""
@@ -361,7 +383,12 @@ class BatchMerkleProof:
         path (other hashers, or no compiler)."""
         if getattr(self.h, "NAME", None) not in ("blake3_256", "blake3_192"):
             return None
-        if len(indexes) > 4096 or len(self.nodes) > 4096:
+        n_vec = (
+            len(self._node_counts)
+            if self._nodes is None and self._node_counts is not None
+            else len(self.nodes)
+        )
+        if len(indexes) > 4096 or n_vec > 4096:
             return None  # B3_MAX_BATCH; protocol caps are far lower
         try:
             from ..native import get_blake3
@@ -380,12 +407,16 @@ class BatchMerkleProof:
         if len(leaves) != D * len(self.leaves):
             raise ValueError("invalid proof: bad leaf digest size")
         idx = np.asarray(list(indexes), dtype=np.uint64)
-        node_data = b"".join(d for vec in self.nodes for d in vec)
-        counts = np.asarray([len(v) for v in self.nodes], dtype=np.int32)
-        if any(
-            len(d) != D for vec in self.nodes for d in vec
-        ):
-            raise ValueError("invalid proof: bad node digest size")
+        if self._nodes is None and self._node_blob is not None:
+            # deserialize kept the contiguous form: reuse it (lengths are
+            # guaranteed by construction — read_bytes enforced count * D)
+            node_data = self._node_blob
+            counts = np.asarray(self._node_counts, dtype=np.int32)
+        else:
+            node_data = b"".join(d for vec in self.nodes for d in vec)
+            counts = np.asarray([len(v) for v in self.nodes], dtype=np.int32)
+            if any(len(d) != D for vec in self.nodes for d in vec):
+                raise ValueError("invalid proof: bad node digest size")
         out = ctypes.create_string_buffer(D)
         rc = lib.b3_batch_root(
             leaves,
@@ -423,13 +454,17 @@ class BatchMerkleProof:
         if not leaves or len(leaves) > 255:
             raise ValueError("invalid number of leaves")
         num_node_vectors = reader.read_u8()
-        nodes = []
         D = hasher.DIGEST_BYTES
+        parts = []
+        counts = []
         for _ in range(num_node_vectors):
             num_digests = reader.read_u8()
-            blob = reader.read_bytes(num_digests * D)
-            nodes.append([blob[i * D : (i + 1) * D] for i in range(num_digests)])
-        return cls(leaves, nodes, depth, hasher)
+            parts.append(reader.read_bytes(num_digests * D))
+            counts.append(num_digests)
+        proof = cls(leaves, None, depth, hasher)
+        proof._node_blob = b"".join(parts)
+        proof._node_counts = counts
+        return proof
 
 
 def _merge_many(h, pairs):

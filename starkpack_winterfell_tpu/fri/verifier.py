@@ -24,6 +24,10 @@ class VerifierChannelFri:
         layer_queries, layer_proofs = fri_proof.parse_layers(
             hasher, domain_size, folding_factor, ext_deg, field
         )
+        # raw per-layer value bytes + remainder bytes for the native fold
+        # (already canonicity-validated by parse_layers/parse_remainder)
+        self.layer_value_bytes = [l.values for l in fri_proof.layers]
+        self.remainder_bytes = fri_proof.remainder
         self.layer_commitments = layer_commitments
         self.layer_queries = layer_queries
         self.layer_proofs = layer_proofs
@@ -32,6 +36,12 @@ class VerifierChannelFri:
         self.hasher = hasher
         self.folding_factor = folding_factor
         self._layer_idx = 0
+
+    def fri_layer_value_bytes(self, idx):
+        return self.layer_value_bytes[idx]
+
+    def fri_remainder_bytes(self):
+        return self.remainder_bytes
 
     def read_fri_num_partitions(self) -> int:
         return self.num_partitions
@@ -119,7 +129,19 @@ class FriVerifier:
         domain_size = self.domain_size
         max_degree_plus_1 = self.max_poly_degree + 1
         positions = list(positions)
-        evaluations = list(evaluations)
+        packed = getattr(evaluations, "ndim", None) == 3  # (q, d, 2) u64
+        if not packed:
+            evaluations = list(evaluations)
+
+        if d <= 3 and N <= 16 and _native_verify(self, channel, evaluations,
+                                                 positions):
+            return
+        if packed:
+            # native fold declined after a packed DEEP composition — unpack
+            # for the python loop
+            from ..verifier import native_scalar as ns
+
+            evaluations = ns.get_ctx(spec, d).unpack_elems(evaluations)
 
         # inverse DFT matrix for the size-N subgroup: M[j, i] = w_N^{-ij}/N
         w_inv = pow(self.field.get_root_of_unity(N.bit_length() - 1), P - 2, P)
@@ -209,6 +231,109 @@ class FriVerifier:
                     got.append(tuple(acc))
             if got != evaluations:
                 raise FriVerificationError("invalid remainder folding")
+
+
+_IDFT_CACHE: dict = {}
+
+
+def _idft_words(field, N):
+    """(N*N, 2) u64 canonical idft matrix M[j,i] = w_N^{-ij}/N (row-major,
+    cached per (field, N))."""
+    import numpy as np
+
+    key = (field.name, N)
+    hit = _IDFT_CACHE.get(key)
+    if hit is None:
+        P = field.P
+        w_inv = pow(field.get_root_of_unity(N.bit_length() - 1), P - 2, P)
+        n_inv = pow(N, P - 2, P)
+        flat = [
+            pow(w_inv, i * j, P) * n_inv % P
+            for j in range(N)
+            for i in range(N)
+        ]
+        hit = np.array(
+            [(v & 0xFFFFFFFFFFFFFFFF, v >> 64) for v in flat], dtype=np.uint64
+        )
+        _IDFT_CACHE[key] = hit
+    return hit
+
+
+def _native_verify(fv, channel, evaluations, positions) -> bool:
+    """Run the whole layer-fold loop + remainder check through the native
+    scalar kernels (verify_scalar.c).  Returns False (caller falls back to
+    the python loop) when the library or the raw-bytes channel interface is
+    unavailable; raises FriVerificationError exactly like the python path
+    otherwise."""
+    from ..verifier import native_scalar as ns
+
+    if not ns.available():
+        return False
+    get_bytes = getattr(channel, "fri_layer_value_bytes", None)
+    get_rem = getattr(channel, "fri_remainder_bytes", None)
+    if get_bytes is None or get_rem is None:
+        return False
+    if len(positions) > 1024:
+        # decide BEFORE consuming the channel: a mid-loop fallback would
+        # double-advance the layer index
+        return False
+
+    spec = fv.field
+    P = spec.P
+    N = fv.options.folding_factor
+    d = fv.ext_deg
+    ctx = ns.get_ctx(spec, d)
+    idft = _idft_words(spec, N)
+
+    domain_generator = fv.domain_generator
+    domain_size = fv.domain_size
+    max_degree_plus_1 = fv.max_poly_degree + 1
+    evals_arr = (
+        evaluations
+        if not isinstance(evaluations, list)
+        else ctx.pack_elems(evaluations)
+    )
+
+    for depth in range(fv.options.num_fri_layers(fv.domain_size)):
+        folded_positions = fold_positions(positions, domain_size, N)
+        layer_commitment = fv.layer_commitments[depth]
+        # Merkle + row-count checks (unchanged error order); the returned
+        # rows are ignored — the native kernel re-reads the raw bytes
+        channel.read_layer_queries(folded_positions, layer_commitment)
+        row_length = domain_size // N
+        fp_index = {pp: i for i, pp in enumerate(folded_positions)}
+        qmap_row = [fp_index[pp % row_length] for pp in positions]
+        qmap_col = [pp // row_length for pp in positions]
+        rc, out = ns.fold_layer(
+            ctx, N, get_bytes(depth), len(folded_positions), evals_arr,
+            qmap_row, qmap_col, folded_positions, domain_generator,
+            spec.GENERATOR, fv.layer_alphas[depth], idft,
+        )
+        if rc == 1:
+            raise FriVerificationError(f"invalid layer folding at depth {depth}")
+        if rc != 0:
+            raise RuntimeError(f"native FRI fold failed (rc={rc})")
+        if max_degree_plus_1 % N != 0:
+            raise FriVerificationError("degree truncation")
+        evals_arr = out
+        domain_generator = pow(domain_generator, N, P)
+        max_degree_plus_1 //= N
+        domain_size //= N
+        positions = folded_positions
+
+    remainder_poly = channel.read_remainder()
+    if len(remainder_poly) > max_degree_plus_1:
+        raise FriVerificationError("remainder degree mismatch")
+    if positions:
+        rc = ns.remainder_check(
+            ctx, get_rem(), len(remainder_poly), positions,
+            domain_generator, spec.GENERATOR, evals_arr,
+        )
+        if rc == 1:
+            raise FriVerificationError("invalid remainder folding")
+        if rc != 0:
+            raise RuntimeError(f"native remainder check failed (rc={rc})")
+    return True
 
 
 def _batch_inv_int(xs, P):

@@ -218,6 +218,59 @@ def get_gl64mod():
     return _CACHE["gl64"]
 
 
+def get_verify_scalar():
+    """ctypes handle for the native verifier scalar loops
+    (verify_scalar.c: FRI layer fold, remainder check, DEEP composition),
+    or None if no compiler."""
+    if "vs" not in _CACHE:
+        lib = _build("starkvs", "verify_scalar.c")
+        if lib is not None:
+            p = ctypes.c_void_p
+            i64 = ctypes.c_int64
+            i32 = ctypes.c_int
+            u64 = ctypes.c_uint64
+            lib.vs_fold_layer.argtypes = [
+                p, p, i32, p, i32, i32,   # p, r2, d, qcoeffs, elem_bytes, N
+                p, i64,                   # values_bytes, nrows
+                p, i64,                   # evals_in, npos
+                p, p, p,                  # qmap_row, qmap_col, folded_pos
+                p, p, p, p,               # g, offs, alpha, idft
+                p,                        # out_evals
+            ]
+            lib.vs_fold_layer.restype = i32
+            lib.vs_remainder_check.argtypes = [
+                p, p, i32, p, i32,
+                p, i64,                   # rem_bytes, nrem
+                p, i64,                   # positions, npos
+                p, p, p,                  # g, offs, evals
+            ]
+            lib.vs_remainder_check.restype = i32
+            lib.vs_deep_trace.argtypes = [
+                p, p, i32, p, i32,
+                p, i64, i64, i64, i32,    # table_words, n, q, w, d_in
+                p, p, p,                  # ood_cur, ood_nxt, cc
+                p, p, i32,                # t1_num, t2_num, accumulate
+            ]
+            lib.vs_deep_trace.restype = i32
+            lib.vs_deep_combine.argtypes = [
+                p, p, i32, p, i32,
+                i64, p,                   # q, positions
+                p, p, p, p,               # g_lde, offs, z, zg
+                p, p,                     # t1_num, t2_num
+                p, i64, p, p,             # cons_words, m, ood_c, cc2
+                p,                        # out
+            ]
+            lib.vs_deep_combine.restype = i32
+            lib.vs_test_ops.argtypes = [p, p, i32, p, p, p, u64, u64, p]
+            lib.vs_test_ops.restype = i32
+            lib.vs_poly_eval.argtypes = [p, p, i32, p, p, i64, p, p]
+            lib.vs_poly_eval.restype = i32
+            lib.vs_barycentric_eval.argtypes = [p, p, i32, p, p, i64, p, p, p]
+            lib.vs_barycentric_eval.restype = i32
+        _CACHE["vs"] = lib
+    return _CACHE["vs"]
+
+
 def get_limbmod():
     """ctypes handle for the f62/f128 batch field kernels (limb_mod.c),
     or None if no compiler."""

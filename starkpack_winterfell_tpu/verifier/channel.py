@@ -196,6 +196,13 @@ class VerifierChannel:
             )
         return self._fri_channel
 
+    def fri_layer_value_bytes(self, idx):
+        """Raw canonical value bytes of FRI layer idx (native fold path)."""
+        return self._fri().layer_value_bytes[idx]
+
+    def fri_remainder_bytes(self):
+        return self._fri().remainder_bytes
+
     def read_fri_num_partitions(self):
         return self._fri().read_fri_num_partitions()
 

@@ -188,15 +188,20 @@ def _perform_verification(airs, channel, public_coin, hasher, ext_deg, spec=None
     # 5. DEEP composition at the query points (composer.rs)
     composer = DeepComposer(airs[0], query_positions, z, deep_coefficients, ext_deg,
                             spec)
-    t_composition = composer.compose_trace_columns(
-        queried_main_vec, queried_aux, ood_main_frames, ood_aux_frames
-    )
-    c_composition = composer.compose_constraint_evaluations(
+    deep_evaluations = composer.compose_deep_native(
+        queried_main_vec, queried_aux, ood_main_frames, ood_aux_frames,
         queried_constraints, ood_constraint_evaluations
     )
-    deep_evaluations = [
-        spec.fadd(t, c) for t, c in zip(t_composition, c_composition)
-    ]
+    if deep_evaluations is None:
+        t_composition = composer.compose_trace_columns(
+            queried_main_vec, queried_aux, ood_main_frames, ood_aux_frames
+        )
+        c_composition = composer.compose_constraint_evaluations(
+            queried_constraints, ood_constraint_evaluations
+        )
+        deep_evaluations = [
+            spec.fadd(t, c) for t, c in zip(t_composition, c_composition)
+        ]
 
     # 6. FRI verification
     try:
@@ -213,15 +218,21 @@ def _periodic_values_at(air, x, spec):
         from ..ops.backend import get_backend
 
         B = get_backend(spec.name)
+    from . import native_scalar as ns
+
+    native = ns.available()
     values = []
     for poly in air.get_periodic_column_polys():
         num_cycles = air.trace_length() // len(poly)
         xp = spec.fexp(x, num_cycles)
         v = None
-        if B is not None and isinstance(xp, int):
-            # long periodic polys (the agg AIRs carry 1024-entry ones) take
-            # the vectorized limb eval; the limb conversion is cached per
-            # poly object (AIRs cache their periodic polys class-level)
+        if (native and poly and isinstance(poly[0], int)
+                and (spec.name != "f64" or len(poly) >= 32)):
+            # native Horner; the word pack is identity-cached per poly
+            # object (AIRs cache their periodic polys class-level)
+            ctx = ns.get_ctx(spec, spec.deg_of(xp))
+            v = ns.poly_eval(ctx, ns.pack_base_cached(ctx, poly), xp)
+        if v is None and B is not None and isinstance(xp, int):
             v = B.eval_int_poly_at(poly, xp)
         if v is None:
             v = polynom.eval_at(poly, xp, pspec)
@@ -543,6 +554,9 @@ class DeepComposer:
         self.B = get_backend(spec.name)
         g_lde = air.lde_domain_generator()
         offset = air.domain_offset()
+        self.g_lde = g_lde
+        self.offset = offset
+        self.positions = list(query_positions)
         self.x_coordinates = [
             pow(g_lde, p, spec.P) * offset % spec.P for p in query_positions
         ]
@@ -556,6 +570,74 @@ class DeepComposer:
         z2 = B.scalar_to_limbs(self.z[1], d)
         self._t1_den = B.vsub(self._x, z1)  # (q,)
         self._t2_den = B.vsub(self._x, z2)
+
+    def compose_deep_native(self, queried_main_vec, queried_aux_vec,
+                            ood_main_frames, ood_aux_frames,
+                            queried_constraints, ood_evaluations):
+        """Full DEEP composition (trace + constraint parts fused, one
+        batch-inversion chain) through the native scalar kernels
+        (verify_scalar.c).  Returns a packed (q, d, 2) u64 array the FRI
+        verifier's native path consumes directly, or None to fall back to
+        the numpy limb path (library unavailable / tables without word
+        backing)."""
+        import numpy as np
+
+        from . import native_scalar as ns
+
+        d = self.ext_deg
+        if not ns.available() or d > 3:
+            return None
+        if d == 1 and self.fs.name == "f64":
+            # the fused gl_dot numpy path (compose_trace_columns) is
+            # measurably faster for the base Goldilocks configs
+            return None
+        if any(t.words is None for t in queried_main_vec):
+            return None
+        if queried_constraints.words is None:
+            return None
+        if queried_aux_vec is not None and any(
+            t.words is None for t in queried_aux_vec
+        ):
+            return None
+        q = len(self.positions)
+        if q > 1024:
+            return None
+        ctx = ns.get_ctx(self.fs, d)
+        n = len(queried_main_vec)
+        Tm = np.stack([t.words for t in queried_main_vec])  # (n, q, w, nl)
+        w = Tm.shape[2]
+        ood_cur = ctx.pack_elems([v for f in ood_main_frames for v in f.current()])
+        ood_nxt = ctx.pack_elems([v for f in ood_main_frames for v in f.next()])
+        cc = ctx.pack_elems([c for kk in self.cc.traces for c in kk[:w]])
+        t1 = np.zeros((q, d, 2), dtype=np.uint64)
+        t2 = np.zeros_like(t1)
+        rc = ns.deep_trace(ctx, Tm, n, q, w, 1, ood_cur, ood_nxt, cc, t1, t2,
+                           False)
+        if rc != 0:
+            return None
+        if queried_aux_vec is not None:
+            wa = len(ood_aux_frames[0].current())
+            Ta = np.stack([t.words for t in queried_aux_vec])
+            a0 = ctx.pack_elems(
+                [v for f in ood_aux_frames for v in f.current()]
+            )
+            a1 = ctx.pack_elems([v for f in ood_aux_frames for v in f.next()])
+            ka = ctx.pack_elems(
+                [c for kk in self.cc.traces for c in kk[w : w + wa]]
+            )
+            rc = ns.deep_trace(ctx, Ta, n, q, wa, d, a0, a1, ka, t1, t2, True)
+            if rc != 0:
+                return None
+        m = queried_constraints.words.shape[1]
+        ood_c = ctx.pack_elems(list(ood_evaluations))
+        cc2 = ctx.pack_elems(list(self.cc.constraints))
+        rc, out = ns.deep_combine(
+            ctx, q, self.positions, self.g_lde, self.offset, self.z[0],
+            self.z[1], t1, t2, queried_constraints.words, m, ood_c, cc2,
+        )
+        if rc != 0:
+            return None
+        return out
 
     def _table_limbs(self, table, deg_in: int):
         """Table rows -> (q, w) limb comps promoted to ext degree."""

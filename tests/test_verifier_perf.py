@@ -1,8 +1,8 @@
 """Verifier latency smoke (VERDICT r3 item 4; bar /root/reference/README.md:414).
 
-Clean-machine numbers (4-core host, 2026-08): do_work 32x1024 ~7 ms,
-rescue 2^14 ~5 ms, lamport-agg 256 ~15 ms — the reference's single-core
-verifier is 2-6 ms.  Assertions use ~4x margins so CI contention never
+Clean-machine numbers (4-core host, 2026-08, round-5 native scalar verify
+loops): do_work 32x1024 ~6 ms, rescue 2^14 ~4 ms, lamport-agg 256 ~5 ms —
+the reference's single-core verifier is 2-6 ms.  Assertions use ~4x margins so CI contention never
 flakes them; a regression that matters (a structural slow path coming
 back) is 5-10x, not 2x.
 """
@@ -37,7 +37,7 @@ def _assert_ms(ms, bound, label):
     assert ms < bound, f"{label} verify regressed: {ms:.1f} ms"
 
 
-def test_do_work_verify_under_30ms():
+def test_do_work_verify_under_24ms():
     from starkpack_winterfell_tpu.models.do_work import (
         DoWorkAir, DoWorkProver, build_do_work_trace)
 
@@ -48,10 +48,10 @@ def test_do_work_verify_under_30ms():
     proof = prover.prove(n, traces)
     pubs = [prover.get_pub_inputs(t) for t in traces]
     ms = _min_verify_ms(DoWorkAir, proof, pubs, Blake3_256)
-    _assert_ms(ms, 30.0, "do_work 32x1024")
+    _assert_ms(ms, 24.0, "do_work 32x1024")
 
 
-def test_rescue14_verify_under_25ms():
+def test_rescue14_verify_under_16ms():
     from starkpack_winterfell_tpu.models.rescue_chain import (
         RescueChainAir, RescueChainProver, build_chain_trace)
 
@@ -61,22 +61,36 @@ def test_rescue14_verify_under_25ms():
     proof = prover.prove(1, traces)
     pubs = [prover.get_pub_inputs(t) for t in traces]
     ms = _min_verify_ms(RescueChainAir, proof, pubs, Blake3_256)
-    _assert_ms(ms, 25.0, "rescue 2^14")
+    _assert_ms(ms, 16.0, "rescue 2^14")
+
+
+def _agg_verify_ms(n):
+    from starkpack_winterfell_tpu.models import lamport128_agg as agg
+
+    B192 = get_hasher("blake3_192")
+    opts = ProofOptions(28, 8, 0, FieldExtension.NONE, 4, 7)
+    msgs, pks, sigs = agg.make_wallet(n, seed=1)
+    trace = agg.build_lamport128_agg_trace(msgs, sigs, device_builder=False)
+    prover = agg.Lamport128AggProver(opts, B192, n)
+    proof = prover.prove(1, [trace])
+    pubs = [prover.get_pub_inputs(trace)]
+    return _min_verify_ms(agg.Lamport128AggAir, proof, pubs, B192)
 
 
 @pytest.mark.skipif(
     not os.environ.get("STARKPACK_SLOW_TESTS"),
     reason="agg256 host prove takes minutes; STARKPACK_SLOW_TESTS=1 runs it",
 )
-def test_agg256_verify_under_60ms():
-    from starkpack_winterfell_tpu.models import lamport128_agg as agg
+def test_agg256_verify_under_24ms():
+    # idle-box ~5 ms with the native scalar verify loops (round 5); 4x margin
+    _assert_ms(_agg_verify_ms(256), 24.0, "lamport-agg 256")
 
-    B192 = get_hasher("blake3_192")
-    opts = ProofOptions(28, 8, 0, FieldExtension.NONE, 4, 7)
-    msgs, pks, sigs = agg.make_wallet(256, seed=1)
-    trace = agg.build_lamport128_agg_trace(msgs, sigs, device_builder=False)
-    prover = agg.Lamport128AggProver(opts, B192, 256)
-    proof = prover.prove(1, [trace])
-    pubs = [prover.get_pub_inputs(trace)]
-    ms = _min_verify_ms(agg.Lamport128AggAir, proof, pubs, B192)
-    _assert_ms(ms, 60.0, "lamport-agg 256")
+
+@pytest.mark.skipif(
+    not os.environ.get("STARKPACK_SLOW_TESTS"),
+    reason="agg1024 host prove takes ~20 min; STARKPACK_SLOW_TESTS=1 runs it",
+)
+def test_agg1024_verify_under_40ms():
+    # idle-box ~8 ms (was 40 ms before the native barycentric sequence
+    # eval); 4x margin — the VERDICT r4 item-5 bar is <= 10 ms idle
+    _assert_ms(_agg_verify_ms(1024), 40.0, "lamport-agg 1024")
